@@ -1,0 +1,276 @@
+"""Transformer-XL music LM, from scratch in JAX.
+
+Capability-parity rebuild of the reference's HF wrapper
+(reference musicnlp/models/transformer_xl.py:15-241): same size presets
+(debug/tiny/small/base/large, d_model 128->1024, n_layer 4->18, per-size
+max_length/mem_len/clamp_len derivation :16-35), tied embedding/softmax,
+relative-position attention with segment memory, padding masked from the loss
+(PT_LOSS_PAD), and a mems-as-past decode path.
+
+TPU-native differences (design, not behavior):
+  * fixed-shape right-aligned memory + `mem_valid` scalar instead of torch's
+    dynamically-growing mems list -- every program has static shapes;
+  * optional segment-scan training (`forward_segments`): the actual TF-XL
+    training scheme (stop-gradient memory carried across segments) expressed
+    as one `lax.scan`, so long sequences train at fixed per-segment attention
+    cost instead of O(T^2);
+  * decode uses an exact KV ring cache (see ops/attention.py) -- no per-step
+    re-projection of the memory;
+  * full-vocab tied softmax head instead of adaptive clusters (MXU-friendly;
+    see ops/losses.py docstring).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from musicnlp_tpu.ops.attention import rel_attn, rel_attn_decode_step, rel_attn_init
+from musicnlp_tpu.ops.layers import (
+    Params, dense, embedding_init, ffn, ffn_init, dropout,
+)
+from musicnlp_tpu.ops.losses import PT_LOSS_PAD, ntp_accuracy, shifted_ce_loss
+
+__all__ = ['TransfoXLConfig', 'TransfoXL', 'DecodeState']
+
+
+@dataclass(frozen=True)
+class TransfoXLConfig:
+    """Size presets mirror the reference table (transformer_xl.py:16-35)."""
+    vocab_size: int = 1190
+    model_size: str = 'base'
+    d_model: int = 768
+    n_head: int = 12
+    d_head: int = 64
+    d_inner: int = 3072
+    n_layer: int = 12
+    mem_len: int = 256
+    clamp_len: int = 1024
+    max_length: int = 2048
+    dropout: float = 0.1
+    dropatt: float = 0.0
+    pre_lnorm: bool = False
+    init_std: float = 0.02
+    dtype: str = 'bfloat16'
+
+    presets = {
+        'debug': dict(d_model=128, n_head=8, n_layer=4),
+        'debug-large': dict(d_model=128, n_head=8, n_layer=4),
+        'tiny': dict(d_model=256, n_head=8, n_layer=6),
+        'small': dict(d_model=512, n_head=8, n_layer=12),
+        'base': dict(d_model=768, n_head=12, n_layer=12),
+        'large': dict(d_model=1024, n_head=16, n_layer=18),
+    }
+    size2max_length = {'debug': 64, 'debug-large': 128, 'tiny': 512,
+                       'small': 1024, 'base': 2048, 'large': 2048}
+
+    @classmethod
+    def from_size(cls, model_size: str, vocab_size: int, max_length: int = None,
+                  **kwargs) -> 'TransfoXLConfig':
+        p = dict(cls.presets[model_size])
+        max_len = max_length or cls.size2max_length[model_size]
+        if 'debug' in model_size:
+            m_len, c_len = 64, 64
+        else:
+            m_len = max(128, cls.size2max_length[model_size] // 8)
+            c_len = max(1024, cls.size2max_length[model_size] // 2)
+        d = p['d_model']
+        cfg = dict(
+            vocab_size=vocab_size, model_size=model_size, d_model=d,
+            n_head=p['n_head'], d_head=d // p['n_head'], d_inner=d * 4,
+            n_layer=p['n_layer'], mem_len=m_len, clamp_len=c_len, max_length=max_len,
+        )
+        cfg.update(kwargs)
+        return cls(**cfg)
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def model_meta(self) -> Dict[str, Any]:
+        return dict(n_layer=self.n_layer, hidden_size=self.d_model,
+                    ff_size=self.d_inner, seg_len=self.mem_len,
+                    max_len=self.max_length, vocab_size=self.vocab_size)
+
+
+class DecodeState(NamedTuple):
+    """Per-step autoregressive decode state (all fixed shapes)."""
+    cache_k: jnp.ndarray    # [L, B, M, N, H]
+    cache_v: jnp.ndarray    # [L, B, M, N, H]
+    cache_pos: jnp.ndarray  # int32 [M]  absolute position per slot, -1 empty
+    step: jnp.ndarray       # int32 scalar
+
+
+class TransfoXL:
+    """Stateless model namespace: `init` -> params pytree, pure `apply` fns."""
+
+    def __init__(self, config: TransfoXLConfig):
+        self.cfg = config
+
+    # ------------------------------------------------------------------ init
+    def init(self, rng) -> Params:
+        cfg = self.cfg
+        r_emb, *r_layers = jax.random.split(rng, cfg.n_layer + 1)
+        layers = []
+        for rl in r_layers:
+            ra, rf = jax.random.split(rl)
+            layers.append(dict(
+                attn=rel_attn_init(ra, cfg.d_model, cfg.n_head, cfg.d_head,
+                                   std=cfg.init_std),
+                ffn=ffn_init(rf, cfg.d_model, cfg.d_inner, std=cfg.init_std),
+            ))
+        return dict(
+            embed=embedding_init(r_emb, cfg.vocab_size, cfg.d_model, std=cfg.init_std),
+            layers=layers,
+            out_bias=jnp.zeros((cfg.vocab_size,), jnp.float32),
+        )
+
+    def init_mems(self, batch_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        mems = jnp.zeros((cfg.n_layer, batch_size, cfg.mem_len, cfg.d_model),
+                         cfg.compute_dtype)
+        return mems, jnp.zeros((), jnp.int32)
+
+    # --------------------------------------------------------------- forward
+    def forward(
+            self, params: Params, input_ids: jnp.ndarray,
+            mems: Optional[jnp.ndarray] = None, mem_valid=0,
+            attn_mask: Optional[jnp.ndarray] = None, rng=None,
+            deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+        """input_ids int32 [B, Q] -> (logits f32 [B, Q, V], new_mems, new_valid).
+
+        mems: [L, B, M, d] right-aligned memory or None (plain causal LM).
+        """
+        cfg = self.cfg
+        dtype = cfg.compute_dtype
+        B, Q = input_ids.shape
+
+        emb_scale = cfg.d_model ** 0.5
+        h = params['embed']['weight'].astype(dtype)[input_ids] * jnp.asarray(
+            emb_scale, dtype)
+        rngs = (jax.random.split(rng, cfg.n_layer * 2 + 1)
+                if (rng is not None and not deterministic) else None)
+        h = dropout(h, cfg.dropout, rngs[-1] if rngs is not None else None,
+                    deterministic)
+
+        new_mems = [] if mems is not None else None
+        mem_valid = jnp.asarray(mem_valid, jnp.int32)
+        for li, layer in enumerate(params['layers']):
+            if mems is not None:
+                # memory stores this layer's INPUT hiddens (TF-XL semantics)
+                new_mems.append(jax.lax.stop_gradient(
+                    jnp.concatenate([mems[li], h], axis=1)[:, -cfg.mem_len:]))
+                layer_mems = mems[li]
+            else:
+                layer_mems = None
+            r_a = rngs[2 * li] if rngs is not None else None
+            r_f = rngs[2 * li + 1] if rngs is not None else None
+            h = rel_attn(
+                layer['attn'], h, layer_mems, mem_valid,
+                clamp_len=cfg.clamp_len, pre_lnorm=cfg.pre_lnorm,
+                dropout_rate=cfg.dropout, dropatt_rate=cfg.dropatt,
+                rng=r_a, deterministic=deterministic, attn_mask=attn_mask)
+            h = ffn(layer['ffn'], h, pre_lnorm=cfg.pre_lnorm,
+                    dropout_rate=cfg.dropout, rng=r_f, deterministic=deterministic)
+
+        logits = self._lm_head(params, h)
+        if mems is not None:
+            new_mems = jnp.stack(new_mems)
+            new_valid = jnp.minimum(mem_valid + Q, cfg.mem_len)
+            return logits, new_mems, new_valid
+        return logits, None, jnp.zeros((), jnp.int32)
+
+    def _lm_head(self, params: Params, h: jnp.ndarray) -> jnp.ndarray:
+        """Tied full-vocab softmax head; logits returned in f32."""
+        w = params['embed']['weight'].astype(h.dtype)
+        logits = jnp.einsum('bqd,vd->bqv', h, w, preferred_element_type=jnp.float32)
+        return logits + params['out_bias'].astype(jnp.float32)
+
+    # ------------------------------------------------------------ train loss
+    def loss(
+            self, params: Params, input_ids: jnp.ndarray, labels: jnp.ndarray,
+            rng=None, deterministic: bool = True, n_seg: int = 1,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """CLM loss + aux metrics.  n_seg > 1 trains via segment-scan memory."""
+        if n_seg <= 1:
+            logits, _, _ = self.forward(params, input_ids, rng=rng,
+                                        deterministic=deterministic)
+        else:
+            logits = self.forward_segments(params, input_ids, n_seg=n_seg,
+                                           rng=rng, deterministic=deterministic)
+        loss, n_tok = shifted_ce_loss(logits, labels)
+        acc = ntp_accuracy(logits, labels)
+        return loss, dict(ntp_acc=acc, n_tok=n_tok,
+                          preds=jnp.argmax(logits, axis=-1))
+
+    def forward_segments(
+            self, params: Params, input_ids: jnp.ndarray, *, n_seg: int,
+            rng=None, deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Segment-level recurrence training: scan segments, carry stop-grad
+        memory.  input_ids [B, T] with T % n_seg == 0; returns logits [B,T,V]."""
+        cfg = self.cfg
+        B, T = input_ids.shape
+        assert T % n_seg == 0, f'seq len {T} not divisible by n_seg {n_seg}'
+        seg = T // n_seg
+        segs = input_ids.reshape(B, n_seg, seg).transpose(1, 0, 2)  # [S, B, seg]
+        mems, valid = self.init_mems(B)
+        seg_rngs = (jax.random.split(rng, n_seg)
+                    if rng is not None and not deterministic else None)
+
+        def body(carry, xs):
+            mems, valid = carry
+            ids, r = xs if seg_rngs is not None else (xs, None)
+            logits, mems, valid = self.forward(
+                params, ids, mems=mems, mem_valid=valid, rng=r,
+                deterministic=deterministic)
+            return (mems, valid), logits
+
+        xs = (segs, seg_rngs) if seg_rngs is not None else segs
+        _, logits = jax.lax.scan(body, (mems, valid), xs)
+        return logits.transpose(1, 0, 2, 3).reshape(B, T, -1)
+
+    # ---------------------------------------------------------------- decode
+    def init_decode_state(self, batch_size: int) -> DecodeState:
+        cfg = self.cfg
+        shape = (cfg.n_layer, batch_size, cfg.mem_len, cfg.n_head, cfg.d_head)
+        return DecodeState(
+            cache_k=jnp.zeros(shape, cfg.compute_dtype),
+            cache_v=jnp.zeros(shape, cfg.compute_dtype),
+            cache_pos=jnp.full((cfg.mem_len,), -1, jnp.int32),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def decode_step(
+            self, params: Params, token_ids: jnp.ndarray, state: DecodeState,
+    ) -> Tuple[jnp.ndarray, DecodeState]:
+        """One autoregressive step: token_ids int32 [B] -> (logits f32 [B, V],
+        next state).  Exactly equivalent to forward() on the full prefix with
+        mem_len-window attention."""
+        cfg = self.cfg
+        dtype = cfg.compute_dtype
+        B = token_ids.shape[0]
+        slot = state.step % cfg.mem_len
+
+        emb_scale = cfg.d_model ** 0.5
+        h = params['embed']['weight'].astype(dtype)[token_ids][:, None, :]
+        h = h * jnp.asarray(emb_scale, dtype)
+
+        ck, cv = state.cache_k, state.cache_v
+        for li, layer in enumerate(params['layers']):
+            h, k_cur, v_cur = rel_attn_decode_step(
+                layer['attn'], h, ck[li], cv[li], state.cache_pos, state.step,
+                clamp_len=cfg.clamp_len, pre_lnorm=cfg.pre_lnorm)
+            ck = jax.lax.dynamic_update_slice(
+                ck, k_cur[None], (li, 0, slot, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v_cur[None], (li, 0, slot, 0, 0))
+            h = ffn(layer['ffn'], h, pre_lnorm=cfg.pre_lnorm)
+
+        logits = self._lm_head(params, h)[:, 0]
+        new_pos = state.cache_pos.at[slot].set(state.step)
+        return logits, DecodeState(ck, cv, new_pos, state.step + 1)

@@ -1,0 +1,154 @@
+"""Transformer-XL model tests: attention math, memory, decode-cache equivalence."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musicnlp_tpu.models.transformer_xl import TransfoXL, TransfoXLConfig
+from musicnlp_tpu.ops.attention import rel_shift
+from musicnlp_tpu.ops.losses import PT_LOSS_PAD, ntp_accuracy, shifted_ce_loss
+
+
+@pytest.fixture(scope='module')
+def tiny():
+    cfg = TransfoXLConfig(
+        vocab_size=128, model_size='test', d_model=64, n_head=4, d_head=16,
+        d_inner=128, n_layer=2, mem_len=32, clamp_len=64, max_length=64,
+        dropout=0.1, dtype='float32')
+    model = TransfoXL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_config_presets():
+    cfg = TransfoXLConfig.from_size('base', vocab_size=1190)
+    assert cfg.d_model == 768 and cfg.n_layer == 12 and cfg.n_head == 12
+    assert cfg.d_head * cfg.n_head == cfg.d_model
+    assert cfg.max_length == 2048 and cfg.mem_len == 256 and cfg.clamp_len == 1024
+    dbg = TransfoXLConfig.from_size('debug', vocab_size=422)
+    assert dbg.mem_len == 64 and dbg.max_length == 64
+
+
+def test_rel_shift_matches_naive():
+    B, N, Q, K = 1, 2, 4, 6
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, N, Q, K))
+    got = rel_shift(x)
+    M = K - Q
+    # want[i, j] = x[i, (Q - 1) - i + j]  (i.e. r at distance M + i - j)
+    want = np.zeros((B, N, Q, K), np.float32)
+    for i in range(Q):
+        for j in range(K):
+            t = Q - 1 - i + j
+            if 0 <= t < K:
+                want[:, :, i, j] = np.asarray(x)[:, :, i, t]
+    # only causal+memory region matters (j <= M + i)
+    for i in range(Q):
+        for j in range(M + i + 1):
+            np.testing.assert_allclose(np.asarray(got)[:, :, i, j],
+                                       want[:, :, i, j], rtol=1e-6)
+
+
+def test_forward_shapes_and_determinism(tiny):
+    model, params = tiny
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 128)
+    lg1, mems, valid = model.forward(params, ids)
+    assert lg1.shape == (2, 16, 128) and mems is None
+    lg2, _, _ = model.forward(params, ids)
+    np.testing.assert_array_equal(np.asarray(lg1), np.asarray(lg2))
+    # dropout path changes outputs
+    lg3, _, _ = model.forward(params, ids, rng=jax.random.PRNGKey(2),
+                              deterministic=False)
+    assert not np.allclose(np.asarray(lg1), np.asarray(lg3))
+
+
+def test_memory_carries_context(tiny):
+    """Feeding segment 2 with memory must differ from feeding it cold."""
+    model, params = tiny
+    ids = jax.random.randint(jax.random.PRNGKey(3), (1, 32), 0, 128)
+    seg1, seg2 = ids[:, :16], ids[:, 16:]
+    mems, valid = model.init_mems(1)
+    _, mems, valid = model.forward(params, seg1, mems=mems, mem_valid=valid)
+    lg_with, _, _ = model.forward(params, seg2, mems=mems, mem_valid=valid)
+    lg_cold, _, _ = model.forward(params, seg2)
+    assert not np.allclose(np.asarray(lg_with), np.asarray(lg_cold), atol=1e-4)
+
+
+def test_segment_scan_matches_manual_memory(tiny):
+    model, params = tiny
+    ids = jax.random.randint(jax.random.PRNGKey(4), (2, 32), 0, 128)
+    lg_scan = model.forward_segments(params, ids, n_seg=2)
+    mems, valid = model.init_mems(2)
+    lg1, mems, valid = model.forward(params, ids[:, :16], mems=mems, mem_valid=valid)
+    lg2, _, _ = model.forward(params, ids[:, 16:], mems=mems, mem_valid=valid)
+    manual = jnp.concatenate([lg1, lg2], axis=1)
+    np.testing.assert_allclose(np.asarray(lg_scan), np.asarray(manual),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_decode_matches_forward(tiny):
+    """KV ring-cache decode == full forward (prefix < mem_len)."""
+    model, params = tiny
+    B, T = 2, 24
+    ids = jax.random.randint(jax.random.PRNGKey(5), (B, T), 0, 128)
+    logits, _, _ = model.forward(params, ids)
+    st = model.init_decode_state(B)
+    step = jax.jit(model.decode_step)
+    outs = []
+    for t in range(T):
+        lg, st = step(params, ids[:, t], st)
+        outs.append(lg)
+    dec = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(logits),
+                               rtol=5e-3, atol=5e-3)
+    # next-token choice identical
+    np.testing.assert_array_equal(np.asarray(jnp.argmax(dec, -1)),
+                                  np.asarray(jnp.argmax(logits, -1)))
+
+
+def test_decode_ring_wraps(tiny):
+    """Decoding past mem_len keeps running (window attention) without error."""
+    model, params = tiny
+    B = 1
+    st = model.init_decode_state(B)
+    step = jax.jit(model.decode_step)
+    tok = jnp.zeros((B,), jnp.int32)
+    for t in range(model.cfg.mem_len + 8):
+        lg, st = step(params, tok, st)
+        tok = jnp.argmax(lg, -1).astype(jnp.int32)
+    assert int(st.step) == model.cfg.mem_len + 8
+    assert np.all(np.asarray(st.cache_pos) >= 0)  # ring fully populated
+
+
+def test_loss_masks_padding(tiny):
+    model, params = tiny
+    ids = jax.random.randint(jax.random.PRNGKey(6), (2, 16), 0, 128)
+    labels = np.asarray(ids).copy()
+    labels[:, 8:] = PT_LOSS_PAD
+    loss_masked, _ = model.loss(params, ids, jnp.asarray(labels))
+    loss_full, _ = model.loss(params, ids, ids)
+    assert not np.isclose(float(loss_masked), float(loss_full))
+    # all-padding labels don't NaN (reference transformer_xl.py:176-182 guard)
+    all_pad = jnp.full_like(ids, PT_LOSS_PAD)
+    loss_pad, _ = model.loss(params, ids, all_pad)
+    assert np.isfinite(float(loss_pad))
+
+
+def test_ntp_accuracy_shift():
+    # perfect prediction of the NEXT token -> acc 1
+    labels = jnp.array([[5, 6, 7, PT_LOSS_PAD]])
+    logits = jax.nn.one_hot(jnp.array([[6, 7, 9, 0]]), 10) * 10.0
+    assert float(ntp_accuracy(logits, labels)) == 1.0
+    logits_bad = jax.nn.one_hot(jnp.array([[6, 8, 9, 0]]), 10) * 10.0
+    assert float(ntp_accuracy(logits_bad, labels)) == 0.5
+
+
+def test_shifted_ce_matches_manual():
+    V = 7
+    rng = jax.random.PRNGKey(7)
+    logits = jax.random.normal(rng, (1, 4, V))
+    labels = jnp.array([[1, 2, PT_LOSS_PAD, 3]])
+    loss, n = shifted_ce_loss(logits, labels)
+    lp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), -1)
+    manual = -(lp[0, 2] + lp[2, 3]) / 2  # positions with valid next-label
+    assert float(n) == 2.0
+    np.testing.assert_allclose(float(loss), float(manual), rtol=1e-6)
