@@ -1,0 +1,249 @@
+"""Reformer-capability music LM, from scratch in JAX.
+
+Capability-parity rebuild of the reference's HF wrapper
+(reference musicnlp/models/reformer.py:13-127): same size presets
+(alternating local/LSH attention layers x3-12, axial position embeddings with
+axial_pos_shape whose product = max_position_embeddings, axial dims
+(d/4, 3d/4), num_hashes=2 for base/large, shared-QK attention, feed-forward
+4x), untied LM head, causal decoder.
+
+TPU-native substitutions (same capability, better mapping to XLA):
+  * reversible residuals -> optional `jax.checkpoint` rematerialization
+    (same O(1)-activations goal, no custom backward plumbing);
+  * bucketing/sorting/chunking in the LSH layers are fixed-shape tensor ops
+    (ops/chunked_attention.py) -- no data-dependent shapes anywhere;
+  * LSH rotations derive from a deterministic fold of (seed, layer), so eval
+    is reproducible (the reference leaves torch RNG unseeded for LSH,
+    reference trainer/train.py:418-419).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from musicnlp_tpu.ops.chunked_attention import local_attention, lsh_attention
+from musicnlp_tpu.ops.layers import (
+    Params, dense, dense_init, dropout, embedding_init, layer_norm,
+    layer_norm_init,
+)
+from musicnlp_tpu.ops.losses import ntp_accuracy, shifted_ce_loss
+
+__all__ = ['ReformerConfig', 'Reformer']
+
+
+def _auto_buckets(T: int, chunk: int) -> int:
+    """HF heuristic: ~2 * T / chunk, rounded up to an even power of 2."""
+    target = max(2, 2 * T // chunk)
+    n = 2
+    while n < target:
+        n *= 2
+    return n
+
+
+@dataclass(frozen=True)
+class ReformerConfig:
+    """Presets mirror the reference table (reformer.py:15-55)."""
+    vocab_size: int = 1190
+    model_size: str = 'base'
+    d_model: int = 768
+    n_head: int = 12
+    d_head: int = 64
+    d_ff: int = 3072
+    attn_layers: Tuple[str, ...] = ('local', 'lsh') * 6
+    max_length: int = 2048
+    axial_pos_shape: Tuple[int, int] = (32, 64)
+    local_chunk: int = 64
+    lsh_chunk: int = 64
+    n_hashes: int = 1
+    n_buckets: Optional[int] = None
+    dropout: float = 0.05
+    lsh_seed: int = 77
+    remat: bool = False
+    init_std: float = 0.02
+    dtype: str = 'bfloat16'
+
+    presets = {
+        'debug': dict(max_length=64, axial_pos_shape=(8, 8), d_model=128,
+                      n_head=8, n_pairs=3),
+        'debug-large': dict(max_length=512, axial_pos_shape=(16, 32), d_model=128,
+                            n_head=8, n_pairs=3),
+        'tiny': dict(max_length=1024, axial_pos_shape=(32, 32), d_model=256,
+                     n_head=8, n_pairs=3),
+        'small': dict(max_length=2048, axial_pos_shape=(32, 64), d_model=512,
+                      n_head=8, n_pairs=3),
+        'base': dict(max_length=2048, axial_pos_shape=(32, 64), d_model=768,
+                     n_head=12, n_pairs=6, n_hashes=2),
+        'large': dict(max_length=2048, axial_pos_shape=(32, 64), d_model=1024,
+                      n_head=16, n_pairs=12, n_hashes=2),
+    }
+
+    @classmethod
+    def from_size(cls, model_size: str, vocab_size: int, max_length: int = None,
+                  **kwargs) -> 'ReformerConfig':
+        p = dict(cls.presets[model_size])
+        n_pairs = p.pop('n_pairs')
+        d = p['d_model']
+        cfg = dict(
+            vocab_size=vocab_size, model_size=model_size,
+            d_head=d // p['n_head'], d_ff=d * 4,
+            attn_layers=('local', 'lsh') * n_pairs, **p)
+        if max_length:
+            cfg['max_length'] = max_length
+        cfg.update(kwargs)
+        c = cls(**cfg)
+        n1, n2 = c.axial_pos_shape
+        assert n1 * n2 == c.max_length, \
+            f'axial_pos_shape {c.axial_pos_shape} must multiply to {c.max_length}'
+        assert c.max_length % c.local_chunk == 0 and c.max_length % c.lsh_chunk == 0
+        return c
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def axial_dims(self) -> Tuple[int, int]:
+        return self.d_model // 4, 3 * self.d_model // 4  # reference reformer.py:52
+
+    @property
+    def model_meta(self) -> Dict[str, Any]:
+        return dict(axial_pos_shape=self.axial_pos_shape,
+                    n_layer=len(self.attn_layers), hidden_size=self.d_model,
+                    ff_size=self.d_ff,
+                    attention_shape=f'{self.n_head}x{self.d_head}',
+                    vocab_size=self.vocab_size)
+
+
+class Reformer:
+    def __init__(self, config: ReformerConfig):
+        self.cfg = config
+
+    # ------------------------------------------------------------------ init
+    def init(self, rng) -> Params:
+        cfg = self.cfg
+        n1, n2 = cfg.axial_pos_shape
+        d1, d2 = cfg.axial_dims
+        keys = jax.random.split(rng, 4 + len(cfg.attn_layers))
+        layers = []
+        for i, kind in enumerate(cfg.attn_layers):
+            k = keys[4 + i]
+            ka, kv, ko, kf1, kf2 = jax.random.split(k, 5)
+            attn = dict(
+                qk=jax.random.normal(ka, (cfg.d_model, cfg.n_head, cfg.d_head),
+                                     jnp.float32) * cfg.init_std,
+                v=jax.random.normal(kv, (cfg.d_model, cfg.n_head, cfg.d_head),
+                                    jnp.float32) * cfg.init_std,
+                o=jax.random.normal(ko, (cfg.n_head, cfg.d_head, cfg.d_model),
+                                    jnp.float32) * cfg.init_std,
+                ln=layer_norm_init(cfg.d_model),
+            )
+            ffn = dict(
+                w1=dense_init(kf1, cfg.d_model, cfg.d_ff, std=cfg.init_std),
+                w2=dense_init(kf2, cfg.d_ff, cfg.d_model, std=cfg.init_std),
+                ln=layer_norm_init(cfg.d_model),
+            )
+            layers.append(dict(attn=attn, ffn=ffn))
+        return dict(
+            embed=embedding_init(keys[0], cfg.vocab_size, cfg.d_model,
+                                 std=cfg.init_std),
+            axial1=jax.random.normal(keys[1], (n1, 1, d1), jnp.float32) * cfg.init_std,
+            axial2=jax.random.normal(keys[2], (1, n2, d2), jnp.float32) * cfg.init_std,
+            ln_f=layer_norm_init(cfg.d_model),
+            lm_head=dense_init(keys[3], cfg.d_model, cfg.vocab_size,
+                               std=cfg.init_std),
+            layers=layers,
+        )
+
+    def _pos_emb(self, params: Params, T: int, dtype) -> jnp.ndarray:
+        cfg = self.cfg
+        n1, n2 = cfg.axial_pos_shape
+        a1 = jnp.broadcast_to(params['axial1'], (n1, n2, cfg.axial_dims[0]))
+        a2 = jnp.broadcast_to(params['axial2'], (n1, n2, cfg.axial_dims[1]))
+        pos = jnp.concatenate([a1, a2], axis=-1).reshape(n1 * n2, cfg.d_model)
+        return pos[:T].astype(dtype)
+
+    # --------------------------------------------------------------- forward
+    def forward(
+            self, params: Params, input_ids: jnp.ndarray,
+            pad_mask: Optional[jnp.ndarray] = None, rng=None,
+            deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """input_ids int32 [B, T] (T must be a multiple of the chunk sizes;
+        pad with pad_mask=False beyond real length) -> logits f32 [B, T, V]."""
+        cfg = self.cfg
+        dtype = cfg.compute_dtype
+        B, T = input_ids.shape
+        assert T % cfg.local_chunk == 0 and T % cfg.lsh_chunk == 0, \
+            f'T={T} must be a multiple of chunk sizes'
+
+        h = params['embed']['weight'].astype(dtype)[input_ids]
+        h = h + self._pos_emb(params, T, dtype)[None]
+        rngs = (jax.random.split(rng, 2 * len(params['layers']))
+                if rng is not None and not deterministic else None)
+
+        for li, layer in enumerate(params['layers']):
+            kind = cfg.attn_layers[li]
+            blk = self._attn_block(layer['attn'], kind, li, pad_mask)
+            ff = self._ffn_block(layer['ffn'])
+            if cfg.remat:
+                blk = jax.checkpoint(blk)
+                ff = jax.checkpoint(ff)
+            a = blk(h)
+            if rngs is not None:
+                a = dropout(a, cfg.dropout, rngs[2 * li], deterministic)
+            h = h + a
+            f = ff(h)
+            if rngs is not None:
+                f = dropout(f, cfg.dropout, rngs[2 * li + 1], deterministic)
+            h = h + f
+
+        h = layer_norm(params['ln_f'], h)
+        logits = jnp.dot(h, params['lm_head']['w'].astype(dtype),
+                         preferred_element_type=jnp.float32)
+        return logits + params['lm_head']['b'].astype(jnp.float32)
+
+    def _attn_block(self, p: Params, kind: str, layer_idx: int, pad_mask):
+        cfg = self.cfg
+
+        def blk(h):
+            dtype = h.dtype
+            x = layer_norm(p['ln'], h)
+            qk = jnp.einsum('btd,dnh->bnth', x, p['qk'].astype(dtype),
+                            preferred_element_type=jnp.float32).astype(dtype)
+            v = jnp.einsum('btd,dnh->bnth', x, p['v'].astype(dtype),
+                           preferred_element_type=jnp.float32).astype(dtype)
+            if kind == 'local':
+                ctx = local_attention(qk, qk, v, chunk=cfg.local_chunk,
+                                      pad_mask=pad_mask)
+            else:
+                T = h.shape[1]
+                nb = cfg.n_buckets or _auto_buckets(T, cfg.lsh_chunk)
+                rot = jax.random.fold_in(jax.random.PRNGKey(cfg.lsh_seed), layer_idx)
+                ctx = lsh_attention(qk, v, chunk=cfg.lsh_chunk,
+                                    n_hashes=cfg.n_hashes, n_buckets=nb,
+                                    rng_rot=rot, pad_mask=pad_mask)
+            return jnp.einsum('bnth,nhd->btd', ctx, p['o'].astype(dtype),
+                              preferred_element_type=jnp.float32).astype(dtype)
+        return blk
+
+    def _ffn_block(self, p: Params):
+        def ff(h):
+            x = layer_norm(p['ln'], h)
+            x = jax.nn.relu(dense(p['w1'], x))
+            return dense(p['w2'], x)
+        return ff
+
+    # ------------------------------------------------------------ train loss
+    def loss(self, params: Params, input_ids: jnp.ndarray, labels: jnp.ndarray,
+             rng=None, deterministic: bool = True, n_seg: int = 1,
+             pad_id: Optional[int] = None):
+        pad_mask = (input_ids != pad_id) if pad_id is not None else None
+        logits = self.forward(params, input_ids, pad_mask=pad_mask, rng=rng,
+                              deterministic=deterministic)
+        loss, n_tok = shifted_ce_loss(logits, labels)
+        acc = ntp_accuracy(logits, labels)
+        return loss, dict(ntp_acc=acc, n_tok=n_tok,
+                          preds=jnp.argmax(logits, axis=-1))

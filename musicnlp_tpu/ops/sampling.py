@@ -1,0 +1,146 @@
+"""Autoregressive decoding: logits processors + fixed-shape XLA generate loop.
+
+Replaces the reference's HF `model.generate` call (reference
+musicnlp/trainer/eval.py:279-333: greedy / sample with top-k / top-p /
+typical / temperature / repetition-penalty) with a single `lax.scan` program:
+every step has static shapes, the TF-XL memory rides in a KV ring cache
+(models/transformer_xl.py), and prompts of different lengths share one scan
+(teacher-forcing while t < prompt_len).  This is the "XLA while-loop decode
+with cached XL memories" called for in SURVEY.md §7 step 6.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ['SampleConfig', 'process_logits', 'generate_scan']
+
+NEG_INF = -1e30
+
+
+@dataclass(frozen=True)
+class SampleConfig:
+    """Mirror of the reference strategy args (eval.py:279-324)."""
+    strategy: str = 'sample'            # greedy | sample
+    temperature: float = 1.0
+    top_k: int = 0                      # 0 = off
+    top_p: float = 1.0                  # 1 = off
+    typical_p: float = 0.0              # 0 = off
+    repetition_penalty: float = 1.0     # 1 = off
+
+
+def _apply_top_k(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def _apply_top_p(logits: jnp.ndarray, p: float) -> jnp.ndarray:
+    """Nucleus filtering (HF semantics: keep smallest set with cumprob > p,
+    always keeping the most probable token)."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens while the cumulative mass *before* them is < p
+    keep_sorted = (cum - probs) < p
+    # threshold = smallest kept logit
+    thresh = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def _apply_typical(logits: jnp.ndarray, mass: float) -> jnp.ndarray:
+    """Typical decoding (Meister et al.): keep tokens whose -log p is closest
+    to the entropy until `mass` probability is covered."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    p = jnp.exp(logp)
+    ent = -jnp.sum(p * jnp.where(p > 0, logp, 0.0), axis=-1, keepdims=True)
+    shift = jnp.abs(-logp - ent)
+    order = jnp.argsort(shift, axis=-1)
+    p_sorted = jnp.take_along_axis(p, order, axis=-1)
+    cum = jnp.cumsum(p_sorted, axis=-1)
+    keep_sorted = (cum - p_sorted) < mass
+    keep = jnp.zeros_like(keep_sorted).at[
+        jnp.arange(logits.shape[0])[:, None], order].set(keep_sorted)
+    return jnp.where(keep, logits, NEG_INF)
+
+
+def process_logits(
+        logits: jnp.ndarray, cfg: SampleConfig,
+        token_counts: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Apply the warper chain in HF order: repetition penalty -> temperature ->
+    top-k -> top-p -> typical.  logits f32 [B, V]; token_counts int32 [B, V]
+    occurrence counts of already-emitted tokens (for repetition penalty)."""
+    if cfg.repetition_penalty != 1.0 and token_counts is not None:
+        seen = token_counts > 0
+        pen = jnp.asarray(cfg.repetition_penalty, jnp.float32)
+        penalized = jnp.where(logits > 0, logits / pen, logits * pen)
+        logits = jnp.where(seen, penalized, logits)
+    if cfg.temperature != 1.0:
+        logits = logits / jnp.asarray(cfg.temperature, jnp.float32)
+    if cfg.top_k:
+        logits = _apply_top_k(logits, cfg.top_k)
+    if cfg.top_p < 1.0:
+        logits = _apply_top_p(logits, cfg.top_p)
+    if cfg.typical_p:
+        logits = _apply_typical(logits, cfg.typical_p)
+    return logits
+
+
+def generate_scan(
+        decode_step: Callable, init_state, prompt_ids: jnp.ndarray,
+        prompt_len: jnp.ndarray, *, max_length: int, eos_id: int, pad_id: int,
+        sample_cfg: SampleConfig, vocab_size: int, rng=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run one fixed-shape decode scan.
+
+    decode_step: (token_ids [B], state) -> (logits f32 [B, V], state).
+    prompt_ids:  int32 [B, P] prompts left-aligned, padded with pad_id.
+    prompt_len:  int32 [B] true prompt lengths (>= 1).
+    Returns (ids int32 [B, max_length] incl. prompt, out_len int32 [B]).
+    Positions beyond a sequence's end are pad_id.
+    """
+    B, P = prompt_ids.shape
+    assert P <= max_length
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    buf = jnp.full((B, max_length), pad_id, jnp.int32)
+    buf = jax.lax.dynamic_update_slice(buf, prompt_ids, (0, 0))
+    counts0 = jnp.zeros((B, vocab_size), jnp.int32)
+
+    def body(carry, t):
+        state, buf, finished, counts, rng = carry
+        cur = buf[:, t]                                   # token fed at step t
+        counts = counts.at[jnp.arange(B), cur].add(
+            jnp.where(finished, 0, 1))
+        logits, state = decode_step(cur, state)
+
+        rng, r = jax.random.split(rng)
+        warped = process_logits(logits, sample_cfg, counts)
+        if sample_cfg.strategy == 'greedy':
+            nxt = jnp.argmax(warped, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jax.random.categorical(r, warped).astype(jnp.int32)
+
+        in_prompt = (t + 1) < prompt_len                  # next pos teacher-forced?
+        nxt_tok = jnp.where(in_prompt, buf[:, t + 1], nxt)
+        new_finished = finished | ((cur == eos_id) & ~in_prompt)
+        nxt_tok = jnp.where(new_finished, pad_id, nxt_tok)
+        buf = buf.at[:, t + 1].set(nxt_tok)               # t+1 <= max_length-1
+        return (state, buf, new_finished, counts, rng), None
+
+    finished0 = jnp.zeros((B,), bool)
+    (state, buf, finished, _, _), _ = jax.lax.scan(
+        body, (init_state, buf, finished0, counts0, rng),
+        jnp.arange(max_length - 1))
+
+    # output length: position after the first eos at/after prompt end, else max
+    idx = jnp.arange(max_length)[None, :]
+    is_eos = (buf == eos_id) & (idx >= (prompt_len[:, None] - 1))
+    any_eos = jnp.any(is_eos, axis=1)
+    first_eos = jnp.argmax(is_eos, axis=1)
+    out_len = jnp.where(any_eos, first_eos + 1, max_length)
+    # zero out anything past out_len (finished sequences already pad)
+    buf = jnp.where(idx < out_len[:, None], buf, pad_id)
+    return buf, out_len.astype(jnp.int32)

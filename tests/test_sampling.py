@@ -1,0 +1,132 @@
+"""Decode-loop tests: logits warpers + fixed-shape generate scan."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musicnlp_tpu.models.transformer_xl import TransfoXL, TransfoXLConfig
+from musicnlp_tpu.ops.sampling import SampleConfig, generate_scan, process_logits
+
+
+def test_top_k_filter():
+    logits = jnp.array([[1.0, 3.0, 2.0, 0.5, -1.0]])
+    out = process_logits(logits, SampleConfig(strategy='sample', top_k=2))
+    probs = np.asarray(jax.nn.softmax(out, -1))[0]
+    assert probs[1] > 0 and probs[2] > 0
+    assert probs[0] < 1e-9 and probs[3] < 1e-9 and probs[4] < 1e-9
+
+
+def test_top_p_filter():
+    # probs ~ [0.643, 0.237, 0.087, 0.032]
+    logits = jnp.log(jnp.array([[0.643, 0.237, 0.087, 0.032]]))
+    out = process_logits(logits, SampleConfig(top_p=0.5))
+    probs = np.asarray(jax.nn.softmax(out, -1))[0]
+    assert probs[0] > 0.99  # only the top token kept (cum before it = 0 < .5)
+    out2 = process_logits(logits, SampleConfig(top_p=0.7))
+    probs2 = np.asarray(jax.nn.softmax(out2, -1))[0]
+    assert probs2[0] > 0 and probs2[1] > 0 and probs2[2] < 1e-9
+
+
+def test_repetition_penalty():
+    logits = jnp.array([[2.0, 1.0, -1.0]])
+    counts = jnp.array([[3, 0, 1]], jnp.int32)
+    out = process_logits(logits, SampleConfig(repetition_penalty=2.0), counts)
+    out = np.asarray(out)[0]
+    assert np.isclose(out[0], 1.0)    # positive logit divided
+    assert np.isclose(out[1], 1.0)    # unseen untouched
+    assert np.isclose(out[2], -2.0)   # negative logit multiplied
+
+
+def test_temperature_and_typical():
+    logits = jax.random.normal(jax.random.PRNGKey(0), (2, 50))
+    cold = process_logits(logits, SampleConfig(temperature=0.5))
+    np.testing.assert_allclose(np.asarray(cold), np.asarray(logits) * 2, rtol=1e-6)
+    typ = process_logits(logits, SampleConfig(typical_p=0.9))
+    # some tokens filtered, at least one survivor per row
+    surv = np.asarray(typ) > -1e29
+    assert surv.any(axis=1).all() and not surv.all()
+
+
+@pytest.fixture(scope='module')
+def tiny_lm():
+    cfg = TransfoXLConfig(
+        vocab_size=64, model_size='test', d_model=32, n_head=2, d_head=16,
+        d_inner=64, n_layer=2, mem_len=16, clamp_len=32, max_length=48,
+        dropout=0.0, dtype='float32')
+    model = TransfoXL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def _gen(model, params, prompt, plen, cfg, max_length=32, rng_seed=0):
+    st = model.init_decode_state(prompt.shape[0])
+    return generate_scan(
+        lambda tok, s: model.decode_step(params, tok, s), st,
+        prompt, plen, max_length=max_length, eos_id=3, pad_id=1,
+        sample_cfg=cfg, vocab_size=model.cfg.vocab_size,
+        rng=jax.random.PRNGKey(rng_seed))
+
+
+def test_generate_prompt_preserved(tiny_lm):
+    model, params = tiny_lm
+    prompt = jnp.array([[5, 6, 7, 8, 1, 1], [9, 10, 1, 1, 1, 1]], jnp.int32)
+    plen = jnp.array([4, 2], jnp.int32)
+    ids, out_len = _gen(model, params, prompt, plen, SampleConfig(strategy='greedy'))
+    ids = np.asarray(ids)
+    np.testing.assert_array_equal(ids[0, :4], [5, 6, 7, 8])
+    np.testing.assert_array_equal(ids[1, :2], [9, 10])
+    assert ids.shape == (2, 32)
+
+
+def test_generate_greedy_deterministic(tiny_lm):
+    model, params = tiny_lm
+    prompt = jnp.array([[5, 6, 7, 8]], jnp.int32)
+    plen = jnp.array([4], jnp.int32)
+    a, _ = _gen(model, params, prompt, plen, SampleConfig(strategy='greedy'), rng_seed=0)
+    b, _ = _gen(model, params, prompt, plen, SampleConfig(strategy='greedy'), rng_seed=9)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_generate_sampling_varies_with_seed(tiny_lm):
+    model, params = tiny_lm
+    prompt = jnp.array([[5, 6, 7, 8]], jnp.int32)
+    plen = jnp.array([4], jnp.int32)
+    a, _ = _gen(model, params, prompt, plen,
+                SampleConfig(strategy='sample', temperature=2.0), rng_seed=0)
+    b, _ = _gen(model, params, prompt, plen,
+                SampleConfig(strategy='sample', temperature=2.0), rng_seed=1)
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_generate_eos_stops_and_pads(tiny_lm):
+    """Force eos as the argmax by biasing the output head."""
+    model, params = tiny_lm
+    params = jax.tree.map(lambda x: x, params)
+    params['out_bias'] = params['out_bias'].at[3].add(100.0)
+    prompt = jnp.array([[5, 6]], jnp.int32)
+    plen = jnp.array([2], jnp.int32)
+    ids, out_len = _gen(model, params, prompt, plen, SampleConfig(strategy='greedy'))
+    ids = np.asarray(ids)
+    assert int(out_len[0]) == 3              # 2 prompt + eos
+    assert ids[0, 2] == 3
+    assert (ids[0, 3:] == 1).all()           # pad after eos
+
+
+def test_generate_matches_stepwise_greedy(tiny_lm):
+    """Scan-generate greedy == naive python decode loop."""
+    model, params = tiny_lm
+    params = dict(params, out_bias=params['out_bias'].at[3].add(-100.0))  # no eos
+    prompt = jnp.array([[5, 6, 7]], jnp.int32)
+    plen = jnp.array([3], jnp.int32)
+    ids, _ = _gen(model, params, prompt, plen, SampleConfig(strategy='greedy'),
+                  max_length=12)
+    st = model.init_decode_state(1)
+    seq = [5, 6, 7]
+    for t in range(11):
+        lg, st = model.decode_step(params, jnp.array([seq[t]], jnp.int32), st)
+        if t + 1 < 3:
+            continue
+        seq.append(int(jnp.argmax(lg, -1)[0]))
+        if len(seq) == 12:
+            break
+    np.testing.assert_array_equal(np.asarray(ids)[0], np.array(seq)[:12])
