@@ -1,0 +1,92 @@
+"""Device mesh + GSPMD sharding rules.
+
+The reference is a single-process single-GPU trainer ("TODO: DDP not
+supported", reference musicnlp/trainer/train.py:219-220).  The TPU-native
+equivalent (SURVEY.md §2.2) is ONE pjit/GSPMD program over a
+(data, model) mesh: batch sharded over `data` (collectives = psum of grads
+over ICI), and megatron-style tensor parallelism over `model` (attention
+heads + FFN hidden sharded; XLA inserts the all-reduces from the param
+shardings alone).  At reference model sizes `model=1` is the normal
+configuration, but the rules below make every preset scalable.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ['make_mesh', 'param_specs', 'batch_specs', 'shard_pytree',
+           'replicated_specs']
+
+DATA_AXIS, MODEL_AXIS = 'data', 'model'
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data is None:
+        assert n % n_model == 0, f'{n} devices not divisible by model={n_model}'
+        n_data = n // n_model
+    assert n_data * n_model <= n
+    import numpy as np
+    dev = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev, (DATA_AXIS, MODEL_AXIS))
+
+
+def _spec_for(names, leaf) -> P:
+    """Megatron-style TP rule for one param, keyed by its pytree path.
+
+    Attention heads and FFN hidden shard over `model`; embeddings, norms, and
+    the LM head replicate (vocab <= 262k is small next to activations).
+    Works for both TransfoXL and Reformer param trees.
+    """
+    last = names[-1] if names else ''
+    parent = names[-2] if len(names) > 1 else ''
+    if last == 'qkv':                              # [d, 3, N, H]
+        return P(None, None, MODEL_AXIS, None)
+    if last in ('r', 'qk') or (last == 'v' and parent == 'attn'):
+        return P(None, MODEL_AXIS, None)           # [d, N, H]
+    if last == 'o':                                # [N, H, d] row-parallel
+        return P(MODEL_AXIS, None, None)
+    if last in ('r_w_bias', 'r_r_bias'):           # [N, H]
+        return P(MODEL_AXIS, None)
+    if parent == 'w1':                             # column-parallel FFN in
+        return P(None, MODEL_AXIS) if last == 'w' else P(MODEL_AXIS)
+    if parent == 'w2':                             # row-parallel FFN out
+        return P(MODEL_AXIS, None) if last == 'w' else P(None)
+    return P(*([None] * getattr(leaf, 'ndim', 0)))
+
+
+def param_specs(params: Dict[str, Any]) -> Any:
+    """PartitionSpec pytree matching a model param pytree (rule-based)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    specs = []
+    for path, leaf in flat:
+        names = [str(p.key) for p in path if hasattr(p, 'key')]
+        specs.append(_spec_for(names, leaf))
+    return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def batch_specs() -> Dict[str, P]:
+    """Shardings for one training batch (data-parallel over the batch axis)."""
+    return dict(
+        input_ids=P(DATA_AXIS, None),
+        labels=P(DATA_AXIS, None),
+        key_scores=P(DATA_AXIS, None),
+    )
+
+
+def replicated_specs(tree) -> Any:
+    return jax.tree.map(lambda _: P(), tree)
+
+
+def shard_pytree(tree, specs, mesh: Mesh):
+    """Place a host pytree onto the mesh with the given PartitionSpecs."""
+    # tree.map flattens `specs` up to `tree`'s structure, so each P is handed
+    # over whole even though PartitionSpec is itself a pytree (tuple subclass)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs)

@@ -1,0 +1,305 @@
+"""Generation driver: prompts -> XLA decode -> detokenized MXL/MIDI outputs.
+
+Rebuild of the reference `MusicGenerator` (reference musicnlp/trainer/eval.py:109-395):
+unconditional prompts (time-sig + tempo [+ key] + <bar>, :227-236), conditional
+prompts (first n bars of an extracted song via `truncate_first_n_bar` :187-198
+or `mxl2str`, key sampled/max from KeyFinder :243-255, transform chain
+:268-275), greedy/sample strategies with top-k/top-p/typical/temperature/
+repetition-penalty (:279-324), trailing-partial-bar truncation (:178-185), and
+MXL/MIDI render with a JSON metadata sidecar (:363-393).
+
+TPU-native difference: instead of HF's python `generate` loop, decoding is ONE
+`lax.scan` program (ops/sampling.py) over the TF-XL KV ring cache, batched --
+the whole batch of songs decodes in a single device program.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from musicnlp_tpu.models.transformer_xl import TransfoXL
+from musicnlp_tpu.ops.sampling import SampleConfig, generate_scan
+from musicnlp_tpu.preprocess import transform as tsf
+from musicnlp_tpu.preprocess.music_converter import MusicConverter
+from musicnlp_tpu.utils.checkpoint import restore_pytree
+from musicnlp_tpu.vocab import MusicTokenizer, MusicVocabulary, VocabType
+
+__all__ = ['MusicGenerator', 'truncate_first_n_bar', 'truncate_last_bar',
+           'repair_generated', 'load_trained']
+
+
+def truncate_first_n_bar(text: str, n_bar: int, vocab: MusicVocabulary) -> str:
+    """Keep global tokens + first n bars (reference eval.py:187-198)."""
+    toks = text.split()
+    idxs = [i for i, t in enumerate(toks) if t == vocab.start_of_bar]
+    assert len(idxs) >= n_bar, f'song has {len(idxs)} bars < {n_bar}'
+    end = idxs[n_bar] if len(idxs) > n_bar else len(toks)
+    return ' '.join(toks[:end])
+
+
+def truncate_last_bar(text: str, vocab: MusicVocabulary) -> str:
+    """Drop an unfinished trailing bar, ensure </s> (reference eval.py:178-185)."""
+    toks = text.split()
+    if toks and toks[-1] == vocab.end_of_song:
+        return ' '.join(toks)
+    idxs = [i for i, t in enumerate(toks) if t == vocab.start_of_bar]
+    if len(idxs) > 1:
+        toks = toks[:idxs[-1]]
+    return ' '.join(toks + [vocab.end_of_song])
+
+
+def repair_generated(text: str, vocab: MusicVocabulary) -> str:
+    """Token-level grammar repair for sampled model output.
+
+    The detokenizer grammar (music_converter.py) is strict -- same as the
+    reference's (reference music_converter.py:365-371 asserts non-empty bars,
+    pitch-then-duration pairing, etc.).  A sampled model can mildly violate
+    it; rather than crash the render, drop the violating fragments:
+      * a pitch not followed by a duration is dropped;
+      * a tuplet without >=2 pitches + 1 duration is unwrapped/dropped;
+      * bars left with no notes are dropped;
+      * the sequence is closed with </s>.
+    This extends the reference's render-robustness path (its `gen_broken`
+    fixture + 'each-other' duration repair) up to the token level.
+    """
+    toks = text.split()
+    v = vocab
+    head: List[str] = []
+    i = 0
+    while i < len(toks) and toks[i] != v.start_of_bar:
+        if toks[i] != v.end_of_song:
+            head.append(toks[i])
+        i += 1
+
+    def is_pitch(t):
+        return v.type(t) == VocabType.pitch
+
+    def is_dur(t):
+        return v.type(t) == VocabType.duration
+
+    bars: List[List[str]] = []
+    cur: Optional[List[str]] = None
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if t == v.start_of_bar:
+            cur = []
+            bars.append(cur)
+            i += 1
+        elif t == v.end_of_song:
+            break
+        elif cur is None:
+            i += 1
+        elif t in (v.start_of_melody, v.start_of_bass):
+            cur.append(t)
+            i += 1
+        elif t == v.start_of_tuplet:
+            j = i + 1
+            grp = []
+            while j < n and toks[j] not in (v.end_of_tuplet, v.start_of_bar,
+                                            v.end_of_song):
+                grp.append(toks[j])
+                j += 1
+            closed = j < n and toks[j] == v.end_of_tuplet
+            ok = (closed and len(grp) >= 3 and all(is_pitch(x) for x in grp[:-1])
+                  and is_dur(grp[-1]))
+            if ok:
+                cur += [v.start_of_tuplet, *grp, v.end_of_tuplet]
+            i = j + 1 if closed else j
+        elif is_pitch(t):
+            if i + 1 < n and is_dur(toks[i + 1]):
+                cur += [t, toks[i + 1]]
+                i += 2
+            else:
+                i += 1  # dangling pitch: drop
+        else:
+            i += 1      # stray duration/global token inside a bar: drop
+
+    def has_note(bar):
+        return any(is_pitch(t) for t in bar)
+
+    out = list(head)
+    for bar in bars:
+        if has_note(bar):
+            out.append(v.start_of_bar)
+            out += bar
+    if not any(t == v.start_of_bar for t in out):
+        # degenerate: emit one bar of rest so the render always succeeds
+        out += [v.start_of_bar, v.start_of_melody, v.rest,
+                v.meta2tok(VocabType.duration, 4)]
+    out.append(v.end_of_song)
+    return ' '.join(out)
+
+
+def load_trained(out_dir: str, model_cls=None):
+    """Load (model, params, tokenizer) from a Trainer output dir
+    (reference eval.py:32-95's registry, keyed by path here)."""
+    from musicnlp_tpu.models.transformer_xl import TransfoXL, TransfoXLConfig
+    from musicnlp_tpu.utils.checkpoint import load_meta
+
+    meta = load_meta(os.path.join(out_dir, 'meta.json'))
+    cfg_d = dict(meta['config'])
+    cfg_d.pop('model_size', None)
+    cfg = TransfoXLConfig(model_size=meta['config'].get('model_size', 'base'),
+                          **{k: v for k, v in cfg_d.items()
+                             if k in TransfoXLConfig.__dataclass_fields__
+                             and k != 'model_size'})
+    # tuple fields arrive as lists from json
+    model = (model_cls or TransfoXL)(cfg)
+    template = model.init(jax.random.PRNGKey(0))
+    params = restore_pytree(os.path.join(out_dir, 'trained'), template)
+    tokenizer = MusicTokenizer(pitch_kind='degree',
+                               model_max_length=cfg.max_length)
+    return model, params, tokenizer
+
+
+class MusicGenerator:
+    """Batched autoregressive song generation + rendering."""
+
+    def __init__(
+            self, model: TransfoXL, tokenizer: MusicTokenizer, params,
+            augment_key: bool = False, out_dir: str = 'generated',
+    ):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.params = params
+        self.augment_key = augment_key
+        self.out_dir = out_dir
+        self.vocab = tokenizer.vocab
+        pk = tokenizer.pitch_kind
+        self.converter = MusicConverter(mode='full')
+        self._vocab_step = MusicVocabulary(pitch_kind='step')
+        self._sanitize = tsf.SanitizeRare(vocab=self._vocab_step)
+        self._to_midi = tsf.ToMidiPitch(vocab=self._vocab_step)
+        self._jit_gen: Dict[Tuple, Any] = {}
+
+    # ------------------------------------------------------------- prompts
+    def unconditional_prompt(
+            self, time_sig: Tuple[int, int] = (4, 4), tempo: int = 120,
+            key: Optional[str] = None) -> str:
+        v = self.vocab
+        toks = [v.meta2tok(VocabType.time_sig, tuple(time_sig)),
+                v.meta2tok(VocabType.tempo, tempo)]
+        if self.augment_key:
+            assert key is not None, 'key-augmented model needs a prompt key'
+            toks.append(f'Key_{key}')
+        toks.append(v.start_of_bar)
+        return ' '.join(toks)
+
+    def conditional_prompt(
+            self, song: str, n_bar: int = 4, key: Union[str, Dict, None] = None,
+            key_sample: str = 'max', rng: np.random.Generator = None) -> str:
+        """First n bars of an extracted song's token string (or mxl path)."""
+        if os.path.exists(song):
+            text = self.converter.mxl2str(song, pitch_kind='step')
+        else:
+            text = song
+        text = truncate_first_n_bar(text, n_bar, self._vocab_step)
+        text = self._sanitize(text)
+        if self.augment_key:
+            if isinstance(key, dict):
+                keys, scores = zip(*[(k, v) for k, v in key.items() if v])
+                if key_sample == 'max':
+                    key = keys[int(np.argmax(scores))]
+                else:
+                    rng = rng or np.random.default_rng()
+                    p = np.asarray(scores, float)
+                    key = keys[int(rng.choice(len(keys), p=p / p.sum()))]
+            assert isinstance(key, str)
+            ps = tsf.PitchShift(vocab_step=self._vocab_step,
+                                vocab_degree=self.vocab, key=key)
+            toks = ps(text).split()
+            toks.insert(2, f'Key_{key}')
+            text = ' '.join(toks)
+        else:
+            text = self._to_midi(text)
+        return text
+
+    # -------------------------------------------------------------- decode
+    def generate(
+            self, prompts: Sequence[str], strategy: str = 'sample',
+            max_length: int = None, seed: int = None, **strategy_args,
+    ) -> List[str]:
+        """Batch of prompt token-strings -> generated token-strings."""
+        tok = self.tokenizer
+        max_length = max_length or tok.model_max_length
+        cfg = SampleConfig(strategy=strategy, **strategy_args)
+        enc = [tok.encode(p) for p in prompts]
+        plen = np.array([len(e) for e in enc], np.int32)
+        P = int(plen.max())
+        prompt_ids = np.full((len(enc), P), tok.pad_token_id, np.int32)
+        for i, e in enumerate(enc):
+            prompt_ids[i, :len(e)] = e
+
+        key = (len(enc), P, max_length, cfg)
+        if key not in self._jit_gen:
+            model = self.model
+
+            def run(params, prompt_ids, plen, rng):
+                st = model.init_decode_state(prompt_ids.shape[0])
+                return generate_scan(
+                    lambda t, s: model.decode_step(params, t, s), st,
+                    prompt_ids, plen, max_length=max_length,
+                    eos_id=tok.eos_token_id, pad_id=tok.pad_token_id,
+                    sample_cfg=cfg, vocab_size=tok.vocab_size, rng=rng)
+            self._jit_gen[key] = jax.jit(run)
+
+        rng = jax.random.PRNGKey(int(time.time()) if seed is None else seed)
+        ids, out_len = self._jit_gen[key](
+            self.params, jnp.asarray(prompt_ids), jnp.asarray(plen), rng)
+        ids, out_len = np.asarray(ids), np.asarray(out_len)
+        return [self.tokenizer.decode(ids[i, :out_len[i]])
+                for i in range(len(enc))]
+
+    # -------------------------------------------------------------- render
+    def __call__(
+            self, mode: str = 'unconditional', strategy: str = 'sample',
+            n_song: int = 1, prompt_args: Dict = None, save: bool = True,
+            seed: int = None, max_length: int = None, **strategy_args,
+    ) -> List[Dict[str, Any]]:
+        """Generate n songs and render them (reference eval.py:200-395)."""
+        pa = dict(prompt_args or {})
+        if mode == 'unconditional':
+            prompts = [self.unconditional_prompt(
+                time_sig=pa.get('time_sig', (4, 4)), tempo=pa.get('tempo', 120),
+                key=pa.get('key')) for _ in range(n_song)]
+        else:
+            assert mode == 'conditional' and 'songs' in pa
+            songs = pa['songs']
+            prompts = [self.conditional_prompt(
+                s, n_bar=pa.get('n_bar', 4), key=pa.get('key'),
+                key_sample=pa.get('key_sample', 'max')) for s in songs]
+
+        t0 = time.time()
+        texts = self.generate(prompts, strategy=strategy, seed=seed,
+                              max_length=max_length, **strategy_args)
+        dt = time.time() - t0
+        outs = []
+        os.makedirs(self.out_dir, exist_ok=True)
+        for i, text in enumerate(texts):
+            text = truncate_last_bar(text, self.vocab)
+            text = repair_generated(text, self.vocab)
+            rec = dict(text=text, prompt=prompts[i], strategy=strategy,
+                       strategy_args=strategy_args, mode=mode,
+                       generation_seconds=dt / len(texts))
+            if save:
+                stem = f'{time.strftime("%y-%m-%d_%H%M%S")}_{i}'
+                score = self.converter.str2score(
+                    text, pitch_kind=self.tokenizer.pitch_kind,
+                    title=f'generated-{stem}')
+                mxl = os.path.join(self.out_dir, f'{stem}.mxl')
+                mid = os.path.join(self.out_dir, f'{stem}.mid')
+                score.write_mxl(mxl)
+                score.write_midi(mid)
+                with open(os.path.join(self.out_dir, f'{stem}.json'), 'w') as f:
+                    json.dump(rec, f, indent=2)
+                rec.update(mxl=mxl, midi=mid)
+            outs.append(rec)
+        return outs

@@ -1,0 +1,317 @@
+"""Training loop: optimizer presets, pjit train step, eval, checkpointing.
+
+Rebuild of the reference train stack (reference musicnlp/trainer/train.py:31-368
+`get_model_n_tokenizer`/`TrainArgs`/`get_all_setup`,
+musicnlp/util/train/train_util_wrap.py:88-144 `MyTrainer.compute_loss` with
+per-step NTP-acc/IKR logging, musicnlp/util/train/trainer_eval_wrap.py:71-452
+`MyEvalTrainer` threading `key_scores` through eval).
+
+TPU-native design: ONE jitted train step -- forward, masked CE, NTP accuracy,
+IKR (table gathers), grad, AdamW update -- compiled over a (data, model)
+`jax.sharding.Mesh`; the batch is sharded on `data`, params follow the
+megatron TP rules in parallel/mesh.py, and XLA inserts the grad psum.  The
+reference's eval-RAM workarounds (`max_out_logits` argmax-before-gather,
+`eval_accumulation_steps`) are unnecessary: metrics reduce on device and only
+scalars come back to host.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import math
+import os
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from musicnlp_tpu.models.transformer_xl import TransfoXL, TransfoXLConfig
+from musicnlp_tpu.ops.losses import PT_LOSS_PAD, ikr_from_ids
+from musicnlp_tpu.parallel import mesh as mesh_lib
+from musicnlp_tpu.trainer.metrics import IkrMetric
+from musicnlp_tpu.utils import checkpoint as ckpt
+from musicnlp_tpu.vocab import MusicTokenizer, key_inkey_mask
+
+__all__ = ['TrainArgs', 'Trainer', 'get_model_n_tokenizer', 'get_all_setup']
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainArgs:
+    """Per-model/size presets mirroring the reference table (train.py:63-160)."""
+    batch_size: int = 32
+    learning_rate: float = 3e-4
+    weight_decay: float = 1e-2
+    lr_scheduler_type: str = 'cosine'      # cosine | constant
+    num_train_epochs: int = 64
+    warmup_ratio: float = 0.1
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+    max_grad_norm: float = 1.0
+    gradient_accumulation_steps: int = 1
+    eval_batch_size: Optional[int] = None
+    logging_steps: int = 1
+    save_per_epoch: bool = True
+    load_best_model_at_end: bool = True    # on eval_loss (reference train.py:188)
+    seed: int = 77
+    n_seg: int = 1                         # >1: segment-scan TF-XL training
+
+    presets = {
+        'transf-xl': {
+            'debug': dict(batch_size=2, learning_rate=1e-3, weight_decay=0.0,
+                          lr_scheduler_type='constant', num_train_epochs=64),
+            'debug-large': dict(batch_size=8, learning_rate=1e-3, weight_decay=0.0,
+                                lr_scheduler_type='constant', num_train_epochs=16),
+            'tiny': dict(batch_size=32, learning_rate=3e-4, weight_decay=1e-2,
+                         lr_scheduler_type='cosine', num_train_epochs=64, warmup_ratio=0.1),
+            'small': dict(batch_size=32, learning_rate=3e-4, weight_decay=1e-2,
+                          lr_scheduler_type='cosine', num_train_epochs=64, warmup_ratio=0.1),
+            'base': dict(batch_size=32, learning_rate=3e-4, weight_decay=1e-2,
+                         lr_scheduler_type='cosine', num_train_epochs=64, warmup_ratio=0.1),
+            'large': dict(batch_size=32, learning_rate=3e-4, weight_decay=1e-2,
+                          lr_scheduler_type='cosine', num_train_epochs=64, warmup_ratio=0.1),
+        },
+        'reformer': {
+            'debug': dict(batch_size=8, learning_rate=1e-3, weight_decay=0.0,
+                          lr_scheduler_type='constant', num_train_epochs=32),
+            'debug-large': dict(batch_size=8, learning_rate=1e-3, weight_decay=0.0,
+                                lr_scheduler_type='constant', num_train_epochs=32),
+            'tiny': dict(batch_size=32, learning_rate=3e-4, weight_decay=1e-2,
+                         lr_scheduler_type='cosine', num_train_epochs=32, warmup_ratio=0.1),
+            'small': dict(batch_size=32, learning_rate=3e-4, weight_decay=1e-2,
+                          lr_scheduler_type='cosine', num_train_epochs=64, warmup_ratio=0.1),
+            'base': dict(batch_size=32, learning_rate=3e-4, weight_decay=1e-2,
+                         lr_scheduler_type='cosine', num_train_epochs=64, warmup_ratio=0.1),
+            'large': dict(batch_size=32, learning_rate=3e-4, weight_decay=1e-2,
+                          lr_scheduler_type='cosine', num_train_epochs=64, warmup_ratio=0.1),
+        },
+    }
+
+    @classmethod
+    def from_preset(cls, model_name: str, model_size: str, **overrides) -> 'TrainArgs':
+        d = dict(cls.presets[model_name][model_size])
+        d.update(overrides)
+        return cls(**d)
+
+
+def make_optimizer(args: TrainArgs, total_steps: int):
+    """AdamW + warmup-cosine (or constant) schedule + global-norm clip."""
+    if args.lr_scheduler_type == 'cosine':
+        warmup = max(1, int(total_steps * args.warmup_ratio))
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=args.learning_rate,
+            warmup_steps=warmup, decay_steps=max(total_steps, warmup + 1),
+            end_value=0.0)
+    else:
+        sched = optax.constant_schedule(args.learning_rate)
+    tx = optax.chain(
+        optax.clip_by_global_norm(args.max_grad_norm),
+        optax.adamw(sched, b1=args.adam_beta1, b2=args.adam_beta2,
+                    eps=args.adam_epsilon, weight_decay=args.weight_decay),
+    )
+    if args.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, args.gradient_accumulation_steps)
+    return tx, sched
+
+
+class Trainer:
+    """Epoch loop with per-step metrics, per-epoch eval + checkpoint,
+    best-model-at-end on eval_loss."""
+
+    def __init__(
+            self, model: TransfoXL, tokenizer: MusicTokenizer,
+            train_dataset, eval_dataset=None, args: TrainArgs = None,
+            out_dir: str = None, mesh=None, n_model: int = 1,
+            ikr_mode: str = 'vanilla',
+    ):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.train_dataset = train_dataset
+        self.eval_dataset = eval_dataset
+        self.args = args or TrainArgs()
+        self.out_dir = out_dir or os.path.join('models', f'run_{int(time.time())}')
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(n_model=n_model)
+
+        steps_per_epoch = max(1, len(train_dataset) // self.args.batch_size)
+        self.steps_per_epoch = steps_per_epoch
+        total = steps_per_epoch * self.args.num_train_epochs
+        self.tx, self.lr_sched = make_optimizer(self.args, total)
+
+        self.ikr = IkrMetric(tokenizer, mode=ikr_mode)
+        self._id_pc = jnp.asarray(self.ikr.id_pitch_class)
+        self._inkey = jnp.asarray(self.ikr.key_inkey_mask)
+        self._build_steps()
+
+        self.log_path = os.path.join(self.out_dir, 'train_log.jsonl')
+        self._rng = jax.random.PRNGKey(self.args.seed)
+
+    # ------------------------------------------------------------------ setup
+    def init_state(self, rng=None) -> Tuple[Any, Any]:
+        """Init (params, opt_state), placed onto the mesh with TP shardings."""
+        params = self.model.init(rng if rng is not None else self._rng)
+        specs = mesh_lib.param_specs(params)
+        params = mesh_lib.shard_pytree(params, specs, self.mesh)
+        opt_state = jax.jit(
+            self.tx.init,
+            out_shardings=None)(params)
+        return params, opt_state
+
+    def _metrics_in_step(self, mets, labels, key_scores):
+        preds = mets.pop('preds')
+        valid = labels[:, 1:] != PT_LOSS_PAD
+        mets['ikr'] = ikr_from_ids(
+            preds[:, :-1], key_scores, self._id_pc, self._inkey, valid=valid)
+        return mets
+
+    def _build_steps(self):
+        model, args = self.model, self.args
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        bspec = {k: NamedSharding(self.mesh, v)
+                 for k, v in mesh_lib.batch_specs().items()}
+
+        def train_step(params, opt_state, batch, rng):
+            def loss_fn(p):
+                loss, mets = model.loss(
+                    p, batch['input_ids'], batch['labels'], rng=rng,
+                    deterministic=False, n_seg=args.n_seg)
+                return loss, mets
+            (loss, mets), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            mets = self._metrics_in_step(mets, batch['labels'], batch['key_scores'])
+            mets['loss'] = loss
+            mets['grad_norm'] = optax.global_norm(grads)
+            return params, opt_state, mets
+
+        def eval_step(params, batch):
+            loss, mets = model.loss(params, batch['input_ids'], batch['labels'],
+                                    deterministic=True, n_seg=args.n_seg)
+            mets = self._metrics_in_step(mets, batch['labels'], batch['key_scores'])
+            mets['loss'] = loss
+            return mets
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1),
+                                  in_shardings=(None, None, bspec, None))
+        self.eval_step = jax.jit(eval_step, in_shardings=(None, bspec))
+
+    # ------------------------------------------------------------------ loops
+    def _log(self, record: Dict):
+        os.makedirs(self.out_dir, exist_ok=True)
+        with open(self.log_path, 'a') as f:
+            f.write(json.dumps({k: (float(v) if hasattr(v, 'item') else v)
+                                for k, v in record.items()}) + '\n')
+
+    def train(self, params=None, opt_state=None) -> Dict[str, Any]:
+        args = self.args
+        if params is None:
+            params, opt_state = self.init_state()
+        best_loss, best_path = float('inf'), None
+        global_step = 0
+        history: List[Dict] = []
+        for epoch in range(args.num_train_epochs):
+            if hasattr(self.train_dataset, 'resample'):
+                self.train_dataset.resample()  # proportional-mixing per-epoch
+            t_ep = time.time()
+            n_tok_ep = 0
+            for batch in self.train_dataset.batches(
+                    args.batch_size, shuffle=True, seed=args.seed + epoch):
+                self._rng, r = jax.random.split(self._rng)
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                params, opt_state, mets = self.train_step(params, opt_state, batch, r)
+                global_step += 1
+                n_tok_ep += int(mets['n_tok'])
+                if global_step % args.logging_steps == 0:
+                    rec = dict(step=global_step, epoch=epoch,
+                               lr=float(self.lr_sched(global_step)),
+                               **{k: float(v) for k, v in mets.items()})
+                    self._log(rec)
+            dt = time.time() - t_ep
+            ep_rec = dict(epoch=epoch, train_tokens_per_sec=n_tok_ep / max(dt, 1e-9))
+            if self.eval_dataset is not None:
+                ev = self.evaluate(params)
+                ep_rec.update({f'eval_{k}': v for k, v in ev.items()})
+                if args.save_per_epoch:
+                    path = ckpt.save_pytree(
+                        os.path.join(self.out_dir, f'checkpoint-ep{epoch}'), params)
+                    if ev['loss'] < best_loss:
+                        best_loss, best_path = ev['loss'], path
+            elif args.save_per_epoch:
+                ckpt.save_pytree(
+                    os.path.join(self.out_dir, f'checkpoint-ep{epoch}'), params)
+            self._log(ep_rec)
+            history.append(ep_rec)
+        if args.load_best_model_at_end and best_path is not None:
+            params = ckpt.restore_pytree(best_path, jax.device_get(params))
+            params = mesh_lib.shard_pytree(
+                params, mesh_lib.param_specs(params), self.mesh)
+        final = ckpt.save_pytree(os.path.join(self.out_dir, 'trained'), params)
+        ckpt.save_meta(os.path.join(self.out_dir, 'meta.json'), dict(
+            config=asdict_config(self.model.cfg), train_args=asdict(self.args),
+            best_eval_loss=best_loss, final_checkpoint=final))
+        return dict(params=params, opt_state=opt_state, history=history,
+                    best_eval_loss=best_loss)
+
+    def evaluate(self, params) -> Dict[str, float]:
+        args = self.args
+        bsz = args.eval_batch_size or args.batch_size
+        tot: Dict[str, float] = {}
+        n = 0
+        for batch in self.eval_dataset.batches(bsz, shuffle=False, drop_last=False):
+            if len(batch['input_ids']) < bsz:   # pad final partial batch
+                pad = bsz - len(batch['input_ids'])
+                batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+                         for k, v in batch.items()}
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            mets = self.eval_step(params, batch)
+            for k in ('loss', 'ntp_acc', 'ikr'):
+                tot[k] = tot.get(k, 0.0) + float(mets[k])
+            n += 1
+        return {k: v / max(n, 1) for k, v in tot.items()}
+
+
+def asdict_config(cfg: TransfoXLConfig) -> Dict:
+    from dataclasses import asdict as _as
+    return _as(cfg)
+
+
+def get_model_n_tokenizer(
+        model_name: str, model_size: str, vocab_size: int = None,
+        pitch_kind: str = 'degree', max_length: int = None, model_config: Dict = None,
+) -> Tuple[Any, MusicTokenizer]:
+    """Mirror of reference train.py:31-59 wiring (vanilla tokenizer scheme)."""
+    tokenizer = MusicTokenizer(pitch_kind=pitch_kind)
+    if model_name == 'transf-xl':
+        cfg = TransfoXLConfig.from_size(
+            model_size, vocab_size or tokenizer.vocab_size,
+            max_length=max_length, **(model_config or {}))
+        model = TransfoXL(cfg)
+    elif model_name == 'reformer':
+        from musicnlp_tpu.models.reformer import Reformer, ReformerConfig
+        cfg = ReformerConfig.from_size(
+            model_size, vocab_size or tokenizer.vocab_size,
+            max_length=max_length, **(model_config or {}))
+        model = Reformer(cfg)
+    else:
+        raise ValueError(f'Unknown model {model_name!r}')
+    tokenizer.model_max_length = model.cfg.max_length
+    return model, tokenizer
+
+
+def get_all_setup(
+        model_name: str, model_size: str, train_dataset=None, eval_dataset=None,
+        train_args: Dict = None, out_dir: str = None, n_model: int = 1,
+        pitch_kind: str = 'degree', model_config: Dict = None,
+) -> Trainer:
+    """One-call wiring: tokenizer + model + datasets + Trainer
+    (reference train.py:287-368)."""
+    model, tokenizer = get_model_n_tokenizer(
+        model_name, model_size, pitch_kind=pitch_kind, model_config=model_config)
+    args = TrainArgs.from_preset(model_name, model_size, **(train_args or {}))
+    return Trainer(model, tokenizer, train_dataset, eval_dataset, args=args,
+                   out_dir=out_dir, n_model=n_model)

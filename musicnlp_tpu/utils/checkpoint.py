@@ -1,0 +1,64 @@
+"""Flat-npz pytree checkpointing.
+
+Replaces the reference's HF `save_strategy='epoch'` + `from_pretrained`
+checkpoint flow (reference musicnlp/trainer/train.py:171-189, eval.py:37-95)
+with a dependency-light format: one .npz per checkpoint, keys are '/'-joined
+pytree paths.  Restore takes a template pytree (e.g. `model.init(...)`) so
+structure never lives in the file.  Sharded arrays are gathered to host on
+save (model sizes here are far below host RAM).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+__all__ = ['save_pytree', 'restore_pytree', 'save_meta', 'load_meta']
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = '/'.join(
+            str(p.key) if hasattr(p, 'key') else str(p.idx) for p in path)
+        flat[key] = np.asarray(jax.device_get(leaf))
+    return flat
+
+
+def save_pytree(path: str, tree) -> str:
+    """Save a pytree of arrays to `path` (.npz appended if missing)."""
+    if not path.endswith('.npz'):
+        path = path + '.npz'
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    np.savez(path, **_flatten(tree))
+    return path
+
+
+def restore_pytree(path: str, template) -> Any:
+    """Restore into the structure of `template` (dtypes preserved from file)."""
+    if not path.endswith('.npz'):
+        path = path + '.npz'
+    z = np.load(path)
+    paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for p, leaf in paths:
+        key = '/'.join(str(q.key) if hasattr(q, 'key') else str(q.idx) for q in p)
+        arr = z[key]
+        assert arr.shape == np.shape(leaf), \
+            f'checkpoint mismatch at {key}: {arr.shape} vs {np.shape(leaf)}'
+        leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_meta(path: str, meta: Dict):
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    with open(path, 'w') as f:
+        json.dump(meta, f, indent=2, default=str)
+
+
+def load_meta(path: str) -> Dict:
+    with open(path) as f:
+        return json.load(f)

@@ -1,0 +1,100 @@
+"""End-to-end generation tests: prompt build -> scan decode -> detokenize -> render."""
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from musicnlp_tpu.models.transformer_xl import TransfoXL, TransfoXLConfig
+from musicnlp_tpu.trainer.eval import (
+    MusicGenerator, truncate_first_n_bar, truncate_last_bar,
+)
+from musicnlp_tpu.vocab import MusicTokenizer, MusicVocabulary
+
+SAMPLE_STEP = (
+    'TimeSig_4/4 Tempo_120 '
+    '<bar> <melody> p_7/2_F d_1 p_2/4_C d_1/2 p_10/3_A d_1/2 p_3/2_D d_2 '
+    '<bass> p_7/2_F d_2 p_3/2_D d_2 '
+    '<bar> <melody> p_10/2_A d_2 p_9/3_G d_1 p_r d_1 '
+    '<bass> p_10/2_A d_2 p_5/2_E d_2 '
+    '<bar> <melody> p_5/4_E d_4 <bass> p_1/3_C d_4 </s>'
+)
+
+
+@pytest.fixture(scope='module')
+def gen():
+    tok = MusicTokenizer(pitch_kind='midi', model_max_length=128)
+    cfg = TransfoXLConfig(
+        vocab_size=tok.vocab_size, model_size='test', d_model=32, n_head=2,
+        d_head=16, d_inner=64, n_layer=2, mem_len=32, clamp_len=64,
+        max_length=128, dropout=0.0, dtype='float32')
+    model = TransfoXL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    return MusicGenerator(model, tok, params, augment_key=False)
+
+
+def test_truncate_first_n_bar():
+    v = MusicVocabulary(pitch_kind='step')
+    out = truncate_first_n_bar(SAMPLE_STEP, 2, v)
+    assert out.count('<bar>') == 2
+    assert out.startswith('TimeSig_4/4 Tempo_120')
+    assert '</s>' not in out
+
+
+def test_truncate_last_bar():
+    v = MusicVocabulary(pitch_kind='step')
+    unfinished = ('TimeSig_4/4 Tempo_120 <bar> <melody> p_5/4_E d_4 '
+                  '<bar> <melody> p_5/4_E')
+    out = truncate_last_bar(unfinished, v)
+    assert out.count('<bar>') == 1 and out.endswith('</s>')
+    done = 'TimeSig_4/4 Tempo_120 <bar> <melody> p_5/4_E d_4 </s>'
+    assert truncate_last_bar(done, v) == done
+
+
+def test_unconditional_prompt(gen):
+    p = gen.unconditional_prompt(time_sig=(3, 4), tempo=90)
+    assert p == 'TimeSig_3/4 Tempo_90 <bar>'
+
+
+def test_conditional_prompt_midi(gen):
+    p = gen.conditional_prompt(SAMPLE_STEP, n_bar=2)
+    assert p.count('<bar>') == 2
+    # converted to midi pitch kind: tokens in midi vocab
+    v = gen.vocab
+    assert all(t in v for t in p.split())
+
+
+def test_generate_batch(gen):
+    prompts = [gen.unconditional_prompt(), gen.unconditional_prompt(tempo=90)]
+    texts = gen.generate(prompts, strategy='sample', max_length=48,
+                         seed=0, top_k=8)
+    assert len(texts) == 2
+    for t, p in zip(texts, prompts):
+        assert t.startswith(p)
+        assert len(t.split()) <= 48
+        assert '[PAD]' not in t
+
+
+def test_call_renders_files(gen, tmp_path):
+    gen.out_dir = str(tmp_path)
+    outs = gen(mode='unconditional', strategy='greedy', n_song=1,
+               max_length=48, save=True, seed=1)
+    rec = outs[0]
+    assert os.path.exists(rec['mxl']) and os.path.exists(rec['midi'])
+    side = json.load(open(rec['mxl'].replace('.mxl', '.json')))
+    assert side['text'].endswith('</s>')
+    assert rec['text'].count('TimeSig_4/4') >= 1
+
+
+def test_conditional_generation_e2e(gen, tmp_path):
+    gen.out_dir = str(tmp_path)
+    outs = gen(mode='conditional', strategy='sample', max_length=64, save=True,
+               prompt_args=dict(songs=[SAMPLE_STEP], n_bar=2), seed=2,
+               top_p=0.9, temperature=1.2, repetition_penalty=1.1)
+    assert len(outs) == 1
+    # untrained model rarely emits </s>, so the unfinished trailing bar is
+    # dropped (reference eval.py:178-185); at least the first prompt bar stays
+    assert outs[0]['text'].count('<bar>') >= 1
+    assert outs[0]['text'].endswith('</s>')
+    assert os.path.exists(outs[0]['midi'])

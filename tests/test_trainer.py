@@ -1,0 +1,143 @@
+"""Trainer tests: end-to-end tiny training run, sharded train step, metrics,
+checkpoint roundtrip."""
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musicnlp_tpu.models.transformer_xl import TransfoXL, TransfoXLConfig
+from musicnlp_tpu.parallel import mesh as mesh_lib
+from musicnlp_tpu.preprocess.dataset import AugmentedDataset, SongDataset
+from musicnlp_tpu.trainer.metrics import IkrMetric
+from musicnlp_tpu.trainer.train import TrainArgs, Trainer
+from musicnlp_tpu.utils.checkpoint import restore_pytree, save_pytree
+from musicnlp_tpu.vocab import MusicTokenizer, MusicVocabulary, N_KEY, key_str2ordinal
+
+
+def _songs(n=24, seed=0):
+    """Synthetic step-kind songs with varying pitches."""
+    rng = np.random.default_rng(seed)
+    names = ['C', 'D', 'E', 'F', 'G', 'A', 'B']
+    pcs = {'C': 1, 'D': 3, 'E': 5, 'F': 6, 'G': 8, 'A': 10, 'B': 12}
+    out = []
+    for i in range(n):
+        bars = []
+        for _ in range(int(rng.integers(3, 7))):
+            notes = []
+            for _ in range(4):
+                nm = names[int(rng.integers(7))]
+                notes.append(f'p_{pcs[nm]}/4_{nm} d_1')
+            bars.append('<bar> <melody> ' + ' '.join(notes)
+                        + ' <bass> p_8/2_G d_2 p_1/3_C d_2')
+        score = 'TimeSig_4/4 Tempo_120 ' + ' '.join(bars) + ' </s>'
+        out.append(dict(score=score, keys={'CMajor': 0.9, 'GMajor': 0.4},
+                        title=f'song-{i}'))
+    return out
+
+
+@pytest.fixture(scope='module')
+def setup():
+    vocab_step = MusicVocabulary(pitch_kind='step')
+    sd = SongDataset.from_songs(_songs(), vocab=vocab_step)
+    tok = MusicTokenizer(pitch_kind='midi', model_max_length=64)
+    train = AugmentedDataset(sd, tok, random_crop=True, dataset_split='train')
+    evald = AugmentedDataset(sd, tok, random_crop=False, dataset_split='test')
+    cfg = TransfoXLConfig(
+        vocab_size=tok.vocab_size, model_size='test', d_model=32, n_head=2,
+        d_head=16, d_inner=64, n_layer=2, mem_len=16, clamp_len=32,
+        max_length=64, dropout=0.0, dtype='float32')
+    model = TransfoXL(cfg)
+    return model, tok, train, evald
+
+
+def test_train_loss_decreases(setup, tmp_path_factory):
+    model, tok, train, evald = setup
+    out = str(tmp_path_factory.mktemp('run'))
+    args = TrainArgs(batch_size=8, learning_rate=3e-3, weight_decay=0.0,
+                     lr_scheduler_type='constant', num_train_epochs=4,
+                     logging_steps=1)
+    tr = Trainer(model, tok, train, evald, args=args, out_dir=out)
+    res = tr.train()
+    log = [json.loads(l) for l in open(tr.log_path)]
+    steps = [r for r in log if 'loss' in r]
+    assert len(steps) >= 8
+    first = np.mean([r['loss'] for r in steps[:3]])
+    last = np.mean([r['loss'] for r in steps[-3:]])
+    assert last < first * 0.8, f'loss did not decrease: {first} -> {last}'
+    # eval ran, metrics present and sane
+    eps = [r for r in log if 'eval_loss' in r]
+    assert len(eps) == 4
+    assert 0.0 <= eps[-1]['eval_ikr'] <= 1.0
+    assert 0.0 <= eps[-1]['eval_ntp_acc'] <= 1.0
+    # checkpoints + final model + meta saved
+    assert glob.glob(os.path.join(out, 'checkpoint-ep*.npz'))
+    assert os.path.exists(os.path.join(out, 'trained.npz'))
+    assert os.path.exists(os.path.join(out, 'meta.json'))
+    assert res['best_eval_loss'] < float('inf')
+
+
+def test_sharded_train_step_matches_single(setup, tmp_path_factory):
+    """(data=4, model=2) mesh step == single-device step (same batch/params)."""
+    model, tok, train, evald = setup
+    args = TrainArgs(batch_size=8, learning_rate=1e-3, weight_decay=0.0,
+                     lr_scheduler_type='constant', num_train_epochs=1)
+    assert len(jax.devices()) >= 8
+    mesh_tp = mesh_lib.make_mesh(n_data=4, n_model=2)
+    mesh_1 = mesh_lib.make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+
+    out = str(tmp_path_factory.mktemp('shard'))
+    tr_tp = Trainer(model, tok, train, evald, args=args, out_dir=out, mesh=mesh_tp)
+    tr_1 = Trainer(model, tok, train, evald, args=args, out_dir=out, mesh=mesh_1)
+
+    # independent inits (same seed -> same values); sharing one pytree would
+    # alias buffers that the donating train_step then deletes
+    params_a = model.init(jax.random.PRNGKey(0))
+    params_b = model.init(jax.random.PRNGKey(0))
+    p_tp = mesh_lib.shard_pytree(params_a, mesh_lib.param_specs(params_a), mesh_tp)
+    o_tp = jax.jit(tr_tp.tx.init)(p_tp)
+    p_1 = mesh_lib.shard_pytree(params_b, mesh_lib.param_specs(params_b), mesh_1)
+    o_1 = jax.jit(tr_1.tx.init)(p_1)
+
+    batch = next(train.batches(8, shuffle=False))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(1)
+    # params are sharded across the model axis
+    qkv_shard = p_tp['layers'][0]['attn']['qkv'].sharding
+    assert qkv_shard.spec == jax.sharding.PartitionSpec(None, None, 'model', None)
+
+    np_tp, no_tp, m_tp = tr_tp.train_step(p_tp, o_tp, batch, rng)
+    np_1, no_1, m_1 = tr_1.train_step(p_1, o_1, batch, rng)
+    assert np.isclose(float(m_tp['loss']), float(m_1['loss']), rtol=1e-4)
+    assert np.isclose(float(m_tp['ntp_acc']), float(m_1['ntp_acc']), atol=1e-5)
+    # updated params agree
+    d = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), jax.device_get(np_tp),
+        jax.device_get(np_1))
+    assert max(jax.tree.leaves(d)) < 1e-4
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    model, *_ = setup
+    params = model.init(jax.random.PRNGKey(3))
+    path = save_pytree(str(tmp_path / 'ck'), params)
+    back = restore_pytree(path, jax.tree.map(np.zeros_like, params))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ikr_metric_exact():
+    tok = MusicTokenizer(pitch_kind='midi')
+    vocab = tok.vocab
+    ikr = IkrMetric(tok, mode='vanilla')
+    # 3 in-key (C,E,G in CMajor) + 1 off-key (C#)
+    toks = ['p_1/4', 'd_1', 'p_5/4', 'd_1', 'p_8/4', 'd_1', 'p_2/4', 'd_1']
+    ids = np.array([[vocab.tok2id[t] for t in toks]])
+    ks = np.full((1, N_KEY), -1.0, np.float32)
+    ks[0, key_str2ordinal['CMajor']] = 1.0
+    preds = np.concatenate([ids, ids[:, -1:]], axis=1)  # align: preds[:, :-1] == ids
+    got = ikr(preds, np.full_like(preds, 0), ks)
+    assert np.isclose(got, 0.75)
