@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Headline benchmark: Transformer-XL training MIDI-tokens/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+- Ours: the full jitted train step (forward + masked CE + grad + AdamW) on the
+  default JAX platform (the real TPU chip under axon; JAX_PLATFORMS=cpu for a
+  smoke run), flagship 22-11 shape by default (TF-XL base, seq 1024,
+  degree-pitch vocab 1190, bf16).
+- Baseline: the reference's actual model path -- HF `TransfoXLLMHeadModel`
+  with the reference's preset config (reference musicnlp/models/transformer_xl.py:16-66)
+  on CPU torch (the reference has no TPU path and explicitly no DDP,
+  reference trainer/train.py:219-220).  Measured once and cached in
+  `baseline_ref.json` (keyed by size/seq), since a CPU step takes ~minutes.
+
+Env knobs: BENCH_SIZE (base), BENCH_SEQ (1024), BENCH_BSZ (16),
+BENCH_STEPS (10), BENCH_REMEASURE_BASELINE=1 to refresh the cache.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, 'baseline_ref.json')
+
+
+def measure_ours(size: str, seq: int, bsz: int, steps: int) -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from musicnlp_tpu.models.transformer_xl import TransfoXL, TransfoXLConfig
+
+    cfg = TransfoXLConfig.from_size(size, vocab_size=1190, max_length=seq,
+                                    dtype='bfloat16')
+    model = TransfoXL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(3e-4, weight_decay=1e-2))
+    opt_state = jax.jit(tx.init)(params)
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (bsz, seq), 0,
+                             cfg.vocab_size, dtype=jnp.int32)
+    labels = jnp.where(ids % 13 == 0, -100, ids)
+
+    def train_step(params, opt_state, ids, labels, rng):
+        def loss_fn(p):
+            loss, _ = model.loss(p, ids, labels, rng=rng, deterministic=False)
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+    rng = jax.random.PRNGKey(2)
+    for _ in range(2):  # compile + warmup
+        params, opt_state, loss = step(params, opt_state, ids, labels, rng)
+        float(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state, ids, labels, rng)
+        # force a host sync EVERY step: under the tunneled (axon) backend,
+        # block_until_ready on the final array of a donated chain returns
+        # early, wildly inflating throughput; a scalar d2h is ~free
+        float(loss)
+    dt = time.perf_counter() - t0
+    n_chip = 1  # single-chip benchmark; dp scales per-chip throughput ~linearly
+    return bsz * seq * steps / dt / n_chip
+
+
+def measure_reference_baseline(size: str, seq: int) -> float:
+    """HF TransfoXL on CPU torch, reference preset config; tokens/sec."""
+    import torch
+    from transformers import TransfoXLConfig as HFConfig
+    from transformers import TransfoXLLMHeadModel
+
+    # transformers 4.57's deprecated TransfoXL calls `.type_as(dtype=...)`
+    # (invalid since torch 2.x); shim it so the TRUE reference path runs
+    # (the reference repo pins transformers==4.25.1 where this worked)
+    _orig_type_as = torch.Tensor.type_as
+    def _type_as(self, other=None, dtype=None):
+        return self.to(dtype if dtype is not None else other.dtype)
+    torch.Tensor.type_as = _type_as
+
+    presets = {  # reference models/transformer_xl.py:16-35
+        'debug': dict(d_model=128, n_head=8, n_layer=4),
+        'tiny': dict(d_model=256, n_head=8, n_layer=6),
+        'small': dict(d_model=512, n_head=8, n_layer=12),
+        'base': dict(d_model=768, n_head=12, n_layer=12),
+        'large': dict(d_model=1024, n_head=16, n_layer=18),
+    }
+    p = presets[size]
+    d = p['d_model']
+    cfg = HFConfig(
+        vocab_size=1190, d_model=d, d_embed=d, n_head=p['n_head'],
+        d_head=d // p['n_head'], d_inner=d * 4, n_layer=p['n_layer'],
+        mem_len=max(128, seq // 8), clamp_len=max(1024, seq // 2),
+        div_val=1, cutoffs=[1000])
+    model = TransfoXLLMHeadModel(cfg)
+    model.train()
+    opt = torch.optim.AdamW(model.parameters(), lr=3e-4, weight_decay=1e-2)
+    bsz = 2
+    ids = torch.randint(0, 1190, (bsz, seq))
+    steps = 2
+    # warmup
+    out = model(input_ids=ids, labels=ids)
+    out.losses.mean().backward()
+    opt.step(); opt.zero_grad()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = model(input_ids=ids, labels=ids)
+        out.losses.mean().backward()
+        opt.step(); opt.zero_grad()
+    dt = time.perf_counter() - t0
+    return bsz * seq * steps / dt
+
+
+def get_baseline(size: str, seq: int) -> float:
+    key = f'{size}-seq{seq}'
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+    if key not in cache or os.environ.get('BENCH_REMEASURE_BASELINE'):
+        cache[key] = dict(
+            tokens_per_sec=measure_reference_baseline(size, seq),
+            what='HF TransfoXLLMHeadModel fwd+bwd+AdamW, torch CPU, bsz 2',
+            measured_at=time.strftime('%Y-%m-%d %H:%M:%S'))
+        with open(BASELINE_CACHE, 'w') as f:
+            json.dump(cache, f, indent=2)
+    return cache[key]['tokens_per_sec']
+
+
+def main():
+    size = os.environ.get('BENCH_SIZE', 'base')
+    seq = int(os.environ.get('BENCH_SEQ', 1024))
+    bsz = int(os.environ.get('BENCH_BSZ', 16))
+    steps = int(os.environ.get('BENCH_STEPS', 10))
+    baseline = get_baseline(size, seq)
+    ours = measure_ours(size, seq, bsz, steps)
+    print(json.dumps(dict(
+        metric=f'tfxl_{size}_train_tokens_per_sec_per_chip',
+        value=round(ours, 1), unit='tokens/sec/chip',
+        vs_baseline=round(ours / baseline, 2))))
+
+
+if __name__ == '__main__':
+    main()
