@@ -1,0 +1,244 @@
+"""WordPiece music tokenizer: learned merges over note-token runs.
+
+Rebuild of the reference WordPiece stack (reference
+musicnlp/trainer/wordpiece_tokenizer.py): `Score2Chars` word-splitting rules
+(:104-186 -- bars/channel/tuplet markers and global tokens are standalone
+words; note runs between them are merge-able words), `WordPieceMusicTrainer`
+(:246-336, vocab 8k-262k over the key-augmented corpus), and
+`WordPieceMusicTokenizer` (:349-452) exposing the MusicTokenizer API with an
+id->pitches cache (:372-379).
+
+First-party difference: no unicode-char detour and no Rust dependency -- the
+"characters" ARE the base-vocabulary ids, and training/encoding run in the
+first-party C++ lib (musicnlp_tpu/native/wordpiece.cpp; pure-Python fallback
+with identical semantics).
+"""
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+from collections import Counter
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from musicnlp_tpu.native import load_wordpiece_lib
+from musicnlp_tpu.native._py_wordpiece import PyEncoder, py_train
+from musicnlp_tpu.vocab import (
+    MusicTokenizer, MusicVocabulary, VocabType, WORDPIECE_CONTINUING_PREFIX,
+)
+
+__all__ = ['Score2Word', 'WordPieceMusicTrainer', 'WordPieceMusicTokenizer']
+
+
+class Score2Word:
+    """Token string -> words (lists of base tokens) per the reference's
+    boundary rules (reference :128-186): global tokens (time-sig, tempo, key,
+    [OMIT]) and structural markers (<bar>, <melody>, <bass>, <tup>, </tup>,
+    </s>) are standalone words; note runs in between are one word each."""
+
+    def __init__(self, vocab: MusicVocabulary):
+        self.vocab = vocab
+        v = vocab
+        self.spec_toks = {v.start_of_bar, v.start_of_melody, v.start_of_bass,
+                          v.start_of_tuplet, v.end_of_tuplet, v.end_of_song,
+                          v.omitted_segment}
+
+    def __call__(self, text: Union[str, List[str]]) -> List[List[str]]:
+        toks = text.split() if isinstance(text, str) else list(text)
+        words: List[List[str]] = []
+        cur: List[str] = []
+        for t in toks:
+            typ = self.vocab.type(t)
+            standalone = (t in self.spec_toks
+                          or typ in (VocabType.time_sig, VocabType.tempo,
+                                     VocabType.key))
+            if standalone:
+                if cur:
+                    words.append(cur)
+                    cur = []
+                words.append([t])
+            else:
+                cur.append(t)
+        if cur:
+            words.append(cur)
+        return words
+
+
+def _train_native(words, counts, n_base, n_merges):
+    lib = load_wordpiece_lib()
+    if lib is None:
+        return py_train(words, counts, n_base, n_merges)
+    syms = np.concatenate([np.asarray(w, np.int32) for w in words]) \
+        if words else np.zeros(0, np.int32)
+    offs = np.zeros(len(words) + 1, np.int64)
+    np.cumsum([len(w) for w in words], out=offs[1:])
+    cnts = np.asarray(counts, np.int64)
+    out_cap = 2 * n_base + n_merges + 1
+    out_syms = np.zeros(int(syms.size + out_cap * 4 + 4 * n_base), np.int32)
+    out_offs = np.zeros(out_cap + 1, np.int64)
+    out_cont = np.zeros(out_cap, np.int8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_longlong)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    n_units = lib.wp_train(
+        syms.ctypes.data_as(i32p), offs.ctypes.data_as(i64p),
+        cnts.ctypes.data_as(i64p), len(words), n_base, n_merges,
+        out_syms.ctypes.data_as(i32p), out_syms.size,
+        out_offs.ctypes.data_as(i64p), out_cont.ctypes.data_as(i8p), out_cap)
+    assert n_units > 0, 'native WordPiece training failed (capacity)'
+    units = []
+    for u in range(n_units):
+        s, e = int(out_offs[u]), int(out_offs[u + 1])
+        units.append((bool(out_cont[u]), tuple(int(x) for x in out_syms[s:e])))
+    return units
+
+
+class WordPieceMusicTrainer:
+    """Corpus -> trained WordPiece unit table (reference :246-336)."""
+
+    def __init__(self, pitch_kind: str = 'degree', precision: int = 5):
+        self.vocab = MusicVocabulary(precision=precision, pitch_kind=pitch_kind)
+        self.s2w = Score2Word(self.vocab)
+
+    def __call__(self, songs: Iterable[Union[str, Dict]], vocab_size: int,
+                 save: str = None) -> 'WordPieceMusicTokenizer':
+        n_base = len(self.vocab)
+        n_merges = vocab_size - 2 * n_base
+        assert n_merges > 0, f'vocab_size must exceed {2 * n_base}'
+        wc: Counter = Counter()
+        for s in songs:
+            text = s['score'] if isinstance(s, dict) else s
+            for w in self.s2w(text):
+                wc[tuple(self.vocab.t2i(t) for t in w)] += 1
+        words = [list(w) for w in wc.keys()]
+        counts = list(wc.values())
+        units = _train_native(words, counts, n_base, n_merges)
+        meta = dict(
+            units=[[int(c), list(sy)] for c, sy in units],
+            music_vocab=dict(precision=self.vocab.precision,
+                             pitch_kind=self.vocab.pitch_kind),
+            vocab_size=len(units), n_base=n_base,
+            continuing_prefix=WORDPIECE_CONTINUING_PREFIX,
+        )
+        if save:
+            os.makedirs(os.path.dirname(save) or '.', exist_ok=True)
+            with open(save, 'w') as f:
+                json.dump(meta, f)
+        return WordPieceMusicTokenizer(meta)
+
+
+class WordPieceMusicTokenizer(MusicTokenizer):
+    """MusicTokenizer API over a trained unit table (reference :349-452)."""
+
+    def __init__(self, meta: Dict, model_max_length: int = 4096):
+        mv = meta['music_vocab']
+        super().__init__(precision=mv['precision'], pitch_kind=mv['pitch_kind'],
+                         model_max_length=model_max_length,
+                         is_wordpiece=True)
+        self.meta = meta
+        self.units: List[Tuple[bool, Tuple[int, ...]]] = [
+            (bool(c), tuple(sy)) for c, sy in meta['units']]
+        self.s2w = Score2Word(self.vocab)
+        self._enc = PyEncoder(self.units)
+        self._native_enc = None
+        lib = load_wordpiece_lib()
+        if lib is not None:
+            us = np.concatenate([np.asarray(sy, np.int32)
+                                 for _, sy in self.units])
+            uo = np.zeros(len(self.units) + 1, np.int64)
+            np.cumsum([len(sy) for _, sy in self.units], out=uo[1:])
+            uc = np.asarray([int(c) for c, _ in self.units], np.int8)
+            self._unit_bufs = (us, uo, uc)   # keep alive
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i64p = ctypes.POINTER(ctypes.c_longlong)
+            i8p = ctypes.POINTER(ctypes.c_int8)
+            self._native_enc = lib.wp_encoder_new(
+                us.ctypes.data_as(i32p), uo.ctypes.data_as(i64p),
+                uc.ctypes.data_as(i8p), len(self.units))
+            self._lib = lib
+        # ids aligned: unit id IS the token id; pad/eos map to the INITIAL
+        # alphabet form of the base special ids (same numeric value)
+        self.pad_token_id = self.vocab.tok2id[self.pad_token]
+        self.eos_token_id = self.vocab.tok2id[self.eos_token]
+        self._id2pitches_cache: Dict[int, List[int]] = {}
+
+    @classmethod
+    def from_file(cls, path: str, **kwargs) -> 'WordPieceMusicTokenizer':
+        with open(path) as f:
+            return cls(json.load(f), **kwargs)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.units)
+
+    def __len__(self):
+        return self.vocab_size
+
+    # ------------------------------------------------------------------ core
+    def _encode_word(self, sym_ids: List[int]) -> List[int]:
+        if self._native_enc is not None:
+            arr = np.asarray(sym_ids, np.int32)
+            out = np.zeros(len(sym_ids) + 1, np.int32)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            n = self._lib.wp_encode(
+                ctypes.c_void_p(self._native_enc), arr.ctypes.data_as(i32p),
+                len(sym_ids), out.ctypes.data_as(i32p), out.size)
+            assert n >= 0
+            return [int(x) for x in out[:n]]
+        res = self._enc.encode(sym_ids)
+        assert res is not None
+        return res
+
+    def tokenize(self, text: Union[str, List[str]]) -> List[str]:
+        return [self._unit2str(u) for u in self._encode_units(text)]
+
+    def _encode_units(self, text: Union[str, List[str]]) -> List[int]:
+        out: List[int] = []
+        for w in self.s2w(text):
+            syms = [self.vocab.t2i(t) for t in w]
+            out += self._encode_word(syms)
+        return out
+
+    def _unit2str(self, uid: int) -> str:
+        cont, syms = self.units[uid]
+        s = ' '.join(self.vocab.i2t(i) for i in syms)
+        return f'{WORDPIECE_CONTINUING_PREFIX}{s}' if cont else s
+
+    def encode(self, text: Union[str, List[str]], padding=False,
+               truncation: bool = False, max_length: int = None) -> List[int]:
+        ids = self._encode_units(text)
+        max_length = max_length or self.model_max_length
+        if truncation and len(ids) > max_length:
+            ids = ids[:max_length]
+        if padding in (True, 'max_length') and len(ids) < max_length:
+            ids = ids + [self.pad_token_id] * (max_length - len(ids))
+        return ids
+
+    def decode(self, ids, skip_special_tokens: bool = False) -> str:
+        if isinstance(ids, (int, np.integer)):
+            ids = [ids]
+        ids = [int(i) for i in np.asarray(ids).reshape(-1)]
+        toks: List[str] = []
+        for i in ids:
+            cont, syms = self.units[i]
+            base = [self.vocab.i2t(s) for s in syms]
+            if skip_special_tokens:
+                base = [t for t in base if t != self.pad_token]
+            toks += base
+        return ' '.join(toks)
+
+    # ------------------------------------------------------------------ metrics
+    def ids2pitches(self, ids, include_rest_pitch: bool = True) -> List[int]:
+        tbl = self.vocab.id_midi_table
+        lo = -1 if include_rest_pitch else 0
+        out: List[int] = []
+        for i in np.asarray(ids).reshape(-1):
+            i = int(i)
+            if i not in self._id2pitches_cache:
+                _, syms = self.units[i]
+                self._id2pitches_cache[i] = [
+                    int(tbl[s]) for s in syms if int(tbl[s]) >= -1]
+            out += [p for p in self._id2pitches_cache[i] if p >= lo]
+        return out

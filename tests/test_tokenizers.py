@@ -1,0 +1,139 @@
+"""Learned-tokenizer tests: pair-merge + WordPiece (native C++ and Python)."""
+import numpy as np
+import pytest
+
+from musicnlp_tpu.native import load_wordpiece_lib
+from musicnlp_tpu.native._py_wordpiece import PyEncoder, py_train
+from musicnlp_tpu.trainer.pair_merge_tokenizer import (
+    PairMergeTokenizer, PairMergeTokenizerTrainer,
+)
+from musicnlp_tpu.trainer.wordpiece_tokenizer import (
+    Score2Word, WordPieceMusicTokenizer, WordPieceMusicTrainer,
+)
+from musicnlp_tpu.vocab import MusicTokenizer, MusicVocabulary
+
+SONGS = [
+    ('TimeSig_4/4 Tempo_120 '
+     '<bar> <melody> p_1/4 d_1 p_5/4 d_1 p_8/4 d_2 <bass> p_1/3 d_4 '
+     '<bar> <melody> p_1/4 d_1 p_5/4 d_1 p_8/4 d_2 <bass> p_1/3 d_4 </s>'),
+    ('TimeSig_4/4 Tempo_90 '
+     '<bar> <melody> p_3/4 d_2 p_1/4 d_1 p_5/4 d_1 <bass> p_3/3 d_4 '
+     '<bar> <melody> <tup> p_1/4 p_5/4 p_8/4 d_1 </tup> p_r d_3 <bass> p_1/3 d_4 </s>'),
+    ('TimeSig_3/4 Tempo_120 '
+     '<bar> <melody> p_1/4 d_1 p_5/4 d_1 p_8/4 d_1 <bass> p_1/3 d_3 </s>'),
+]
+
+
+# ----------------------------------------------------------------- pair-merge
+def test_pair_merge_roundtrip_and_merges():
+    tr = PairMergeTokenizerTrainer(pitch_kind='midi', mode='full')
+    tok = tr(SONGS, coverage_ratio=0.95)
+    assert len(tok.added_tok2id) > 0
+    for s in SONGS:
+        toks = tok.tokenize(s)
+        ids = tok.convert_tokens_to_ids(toks)
+        assert tok.decode(ids) == s          # exact reconstruction
+    # the most frequent element became a single token
+    merged_used = any(' ' in t for t in tok.tokenize(SONGS[0]))
+    assert merged_used
+    # tokenized form is shorter than base form
+    assert len(tok.tokenize(SONGS[0])) < len(SONGS[0].split())
+
+
+def test_pair_merge_vocab_size_mode(tmp_path):
+    tr = PairMergeTokenizerTrainer(pitch_kind='midi', mode='full')
+    base = len(MusicVocabulary(pitch_kind='midi'))
+    path = str(tmp_path / 'pm.json')
+    tok = tr(SONGS, vocab_size=base + 3, save=path)
+    assert len(tok.added_tok2id) == 3
+    assert tok.vocab_size == base + 3
+    tok2 = PairMergeTokenizer.from_file(path)
+    assert tok2.added_tok2id == tok.added_tok2id
+    for s in SONGS:
+        assert tok2.decode(tok2.convert_tokens_to_ids(tok2.tokenize(s))) == s
+
+
+def test_pair_merge_ids2pitches_matches_base():
+    tr = PairMergeTokenizerTrainer(pitch_kind='midi', mode='full')
+    tok = tr(SONGS, coverage_ratio=0.9)
+    base = MusicTokenizer(pitch_kind='midi')
+    for s in SONGS:
+        ids = tok.convert_tokens_to_ids(tok.tokenize(s))
+        base_ids = base.convert_tokens_to_ids(base.tokenize(s))
+        assert tok.ids2pitches(ids) == base.ids2pitches(base_ids)
+
+
+# ------------------------------------------------------------------ wordpiece
+def test_score2word_boundaries():
+    v = MusicVocabulary(pitch_kind='midi')
+    words = Score2Word(v)(SONGS[1])
+    flat = [t for w in words for t in w]
+    assert flat == SONGS[1].split()          # lossless split
+    # markers standalone
+    for w in words:
+        if len(w) > 1:
+            assert all(t not in ('<bar>', '<melody>', '<bass>', '</s>',
+                                 '<tup>', '</tup>') for t in w)
+    assert ['TimeSig_4/4'] in words and ['Tempo_90'] in words
+
+
+def test_py_wordpiece_train_and_encode():
+    # toy corpus: symbols 0,1 in word "0 1 0 1"; pair (0,1) merges first
+    words = [[0, 1, 0, 1], [0, 1]]
+    counts = [2, 3]
+    units = py_train(words, counts, n_base=2, n_merges=2)
+    assert len(units) == 2 * 2 + 2
+    enc = PyEncoder(units)
+    ids = enc.encode([0, 1, 0, 1])
+    assert ids is not None and len(ids) < 4   # merges applied
+    # reconstruction
+    rec = []
+    for i in ids:
+        rec += list(units[i][1])
+    assert rec == [0, 1, 0, 1]
+
+
+def test_native_matches_python():
+    lib = load_wordpiece_lib()
+    assert lib is not None, 'native wordpiece lib must build (g++ available)'
+    from musicnlp_tpu.trainer.wordpiece_tokenizer import _train_native
+    rng = np.random.default_rng(0)
+    words = [list(rng.integers(0, 8, size=rng.integers(2, 9))) for _ in range(30)]
+    counts = [int(rng.integers(1, 5)) for _ in range(30)]
+    got = _train_native(words, counts, n_base=8, n_merges=12)
+    want = py_train(words, counts, n_base=8, n_merges=12)
+    assert [tuple(u) for u in got] == [tuple(u) for u in want]
+
+
+def test_wordpiece_music_roundtrip(tmp_path):
+    base = len(MusicVocabulary(pitch_kind='midi'))
+    tr = WordPieceMusicTrainer(pitch_kind='midi')
+    path = str(tmp_path / 'wp.json')
+    tok = tr(SONGS, vocab_size=2 * base + 16, save=path)
+    assert tok.vocab_size <= 2 * base + 16
+    for s in SONGS:
+        ids = tok.encode(s)
+        assert tok.decode(ids) == s           # exact reconstruction
+        assert len(ids) < len(s.split())      # merges compress
+    tok2 = WordPieceMusicTokenizer.from_file(path)
+    for s in SONGS:
+        assert tok2.decode(tok2.encode(s)) == s
+        assert tok2.encode(s) == tok.encode(s)
+
+
+def test_wordpiece_ids2pitches_matches_base():
+    tr = WordPieceMusicTrainer(pitch_kind='midi')
+    tok = tr(SONGS, vocab_size=2 * len(MusicVocabulary(pitch_kind='midi')) + 8)
+    base = MusicTokenizer(pitch_kind='midi')
+    for s in SONGS:
+        assert tok.ids2pitches(tok.encode(s)) == \
+            base.ids2pitches(base.convert_tokens_to_ids(base.tokenize(s)))
+
+
+def test_wordpiece_padding_truncation():
+    tr = WordPieceMusicTrainer(pitch_kind='midi')
+    tok = tr(SONGS, vocab_size=2 * len(MusicVocabulary(pitch_kind='midi')) + 8)
+    ids = tok.encode(SONGS[0], padding='max_length', max_length=64)
+    assert len(ids) == 64 and ids[-1] == tok.pad_token_id
+    ids_t = tok.encode(SONGS[0], truncation=True, max_length=5)
+    assert len(ids_t) == 5
