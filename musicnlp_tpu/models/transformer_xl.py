@@ -54,6 +54,11 @@ class TransfoXLConfig:
     pre_lnorm: bool = False
     init_std: float = 0.02
     dtype: str = 'bfloat16'
+    # fused Pallas attention (ops/pallas/flash_attention.py); auto-falls back
+    # to the jnp path off-TPU, for non-block-divisible shapes, or dropatt>0
+    use_flash: bool = True
+    flash_block_q: int = 512
+    flash_block_k: int = 512
 
     presets = {
         'debug': dict(d_model=128, n_head=8, n_layer=4),
@@ -169,11 +174,22 @@ class TransfoXL:
                 layer_mems = None
             r_a = rngs[2 * li] if rngs is not None else None
             r_f = rngs[2 * li + 1] if rngs is not None else None
-            h = rel_attn(
-                layer['attn'], h, layer_mems, mem_valid,
-                clamp_len=cfg.clamp_len, pre_lnorm=cfg.pre_lnorm,
-                dropout_rate=cfg.dropout, dropatt_rate=cfg.dropatt,
-                rng=r_a, deterministic=deterministic, attn_mask=attn_mask)
+            S = (mems.shape[2] if mems is not None else 0) + Q
+            if self._flash_ok(Q, S, attn_mask):
+                from musicnlp_tpu.ops.pallas.flash_attention import fused_rel_attn
+                h = fused_rel_attn(
+                    layer['attn'], h, layer_mems, mem_valid,
+                    clamp_len=cfg.clamp_len, pre_lnorm=cfg.pre_lnorm,
+                    dropout_rate=cfg.dropout, rng=r_a,
+                    deterministic=deterministic,
+                    bq=min(cfg.flash_block_q, Q),
+                    bk=min(cfg.flash_block_k, S))
+            else:
+                h = rel_attn(
+                    layer['attn'], h, layer_mems, mem_valid,
+                    clamp_len=cfg.clamp_len, pre_lnorm=cfg.pre_lnorm,
+                    dropout_rate=cfg.dropout, dropatt_rate=cfg.dropatt,
+                    rng=r_a, deterministic=deterministic, attn_mask=attn_mask)
             h = ffn(layer['ffn'], h, pre_lnorm=cfg.pre_lnorm,
                     dropout_rate=cfg.dropout, rng=r_f, deterministic=deterministic)
 
@@ -183,6 +199,19 @@ class TransfoXL:
             new_valid = jnp.minimum(mem_valid + Q, cfg.mem_len)
             return logits, new_mems, new_valid
         return logits, None, jnp.zeros((), jnp.int32)
+
+    def _flash_ok(self, Q: int, S: int, attn_mask) -> bool:
+        cfg = self.cfg
+        if not cfg.use_flash or attn_mask is not None or cfg.dropatt > 0:
+            return False
+        bq = min(cfg.flash_block_q, Q)
+        bk = min(cfg.flash_block_k, S)
+        if Q % bq or S % bk or bq % 128 or bk % 128:
+            return False
+        try:
+            return jax.devices()[0].platform == 'tpu'
+        except Exception:
+            return False
 
     def _lm_head(self, params: Params, h: jnp.ndarray) -> jnp.ndarray:
         """Tied full-vocab softmax head; logits returned in f32."""
