@@ -1,0 +1,93 @@
+"""Postprocess tests: stats, visualization data, train-log parsing, fixtures."""
+import json
+import os
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from musicnlp_tpu._sample_scores import (
+    gen_broken, sample_full_degree, sample_full_midi, sample_full_step,
+)
+from musicnlp_tpu.postprocess.music_stats import MusicStats
+from musicnlp_tpu.postprocess.music_visualize import MusicVisualize
+from musicnlp_tpu.postprocess.train_plot import (
+    load_train_log, plot_train_curves, summarize_run,
+)
+from musicnlp_tpu.preprocess import MusicConverter
+from musicnlp_tpu.trainer.eval import repair_generated
+from musicnlp_tpu.vocab import MusicVocabulary
+
+
+def test_sample_scores_in_vocab():
+    for text, pk in ((sample_full_midi, 'midi'), (sample_full_step, 'step'),
+                     (sample_full_degree, 'degree')):
+        v = MusicVocabulary(pitch_kind=pk)
+        assert all(t in v for t in text.split()), pk
+
+
+def test_stats_vocab_type_counts():
+    ms = MusicStats()
+    counts = ms.vocab_type_counts(sample_full_midi.split())
+    assert counts['time_sig'][(4, 4)] == 1
+    assert counts['tempo'][120] == 1
+    assert sum(counts['pitch'].values()) > 10
+    assert counts['duration'][1] >= 3
+
+
+def test_weighted_pitch_counts():
+    ms = MusicStats()
+    w = ms.weighted_pitch_counts(sample_full_midi)
+    # C5 (midi 72): 1 + tuplet share 2/3 + 4 = 17/3
+    assert w[72] == Fraction(17, 3)
+    assert -1 in w  # rest tracked too
+    total = sum(w.values())
+    assert total == Fraction(32)  # 4 bars x 4 quarters x 2 channels
+
+
+def test_broken_render_robustness():
+    """The deliberately broken generation must repair + render (reference
+    render-robustness check, music_converter.py:506-548)."""
+    v = MusicVocabulary(pitch_kind='midi')
+    fixed = repair_generated(gen_broken, v)
+    assert fixed.endswith('</s>')
+    mc = MusicConverter(mode='full')
+    score = mc.str2score(fixed, pitch_kind='midi', title='broken')
+    assert len(list(score.parts)) == 2
+
+
+def test_visualize_stats_and_report(tmp_path):
+    songs = [dict(score=sample_full_midi, keys={'CMajor': 0.9}, duration=8,
+                  warnings=[dict(warn_name='HighPitchOverlap')]),
+             dict(score=sample_full_midi, keys={'GMajor': 0.7}, duration=9,
+                  warnings=[])]
+    mv = MusicVisualize(songs, dataset_name='unit')
+    st = mv.stats()
+    assert st['n_song'] == 2
+    assert (st['token_length'] == len(sample_full_midi.split())).all()
+    assert st['time_sig'][(4, 4)] == 2
+    assert st['warning']['HighPitchOverlap'] == 1
+    rep = mv.report()
+    assert rep['n_song'] == 2 and rep['top_time_sigs'][0][0] == (4, 4)
+    cov = mv.token_coverage_curve()
+    assert np.isclose(cov[-1], 1.0)
+    p = mv.plot('bar_count', str(tmp_path / 'bc.png'))
+    assert os.path.getsize(p) > 0
+
+
+def test_train_log_parsing(tmp_path):
+    path = str(tmp_path / 'train_log.jsonl')
+    with open(path, 'w') as f:
+        for i in range(6):
+            f.write(json.dumps(dict(step=i + 1, epoch=i // 3, loss=3.0 - i * 0.3,
+                                    ntp_acc=0.1 * i, ikr=0.5, lr=1e-3)) + '\n')
+            if i % 3 == 2:
+                f.write(json.dumps(dict(epoch=i // 3, eval_loss=2.5 - i * 0.2,
+                                        eval_ntp_acc=0.2, eval_ikr=0.6,
+                                        train_tokens_per_sec=1000.0)) + '\n')
+    log = load_train_log(path)
+    assert len(log['steps']) == 6 and len(log['epochs']) == 2
+    s = summarize_run(path)
+    assert s['best_epoch'] == 1 and s['mean_tokens_per_sec'] == 1000.0
+    p = plot_train_curves(path)
+    assert os.path.getsize(p) > 0
