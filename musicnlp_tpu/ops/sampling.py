@@ -16,7 +16,7 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ['SampleConfig', 'process_logits', 'generate_scan']
+__all__ = ['SampleConfig', 'process_logits', 'generate_scan', 'beam_generate']
 
 NEG_INF = -1e30
 
@@ -144,3 +144,91 @@ def generate_scan(
     # zero out anything past out_len (finished sequences already pad)
     buf = jnp.where(idx < out_len[:, None], buf, pad_id)
     return buf, out_len.astype(jnp.int32)
+
+
+def beam_generate(
+        decode_step: Callable, init_state_fn: Callable, prompt_ids: jnp.ndarray,
+        prompt_len: jnp.ndarray, *, max_length: int, eos_id: int, pad_id: int,
+        num_beams: int, length_penalty: float = 1.0,
+        reorder_state: Callable = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Beam-search decode (reference eval.py strategy 'beam', HF semantics:
+    log-prob beams, eos freezes a beam, length penalty at final selection).
+
+    decode_step: (token_ids [B*W], state) -> (logits [B*W, V], state).
+    init_state_fn: (batch_size) -> fresh decode state for that batch size.
+    reorder_state: (state, idx [B*W]) -> state with its batch axis gathered by
+    idx (the caller knows the state layout, e.g. TF-XL caches carry batch on
+    axis 1); defaults to gathering axis 0 of leaves whose dim0 == B*W.
+    Returns (ids [B, max_length] best beam per batch, out_len [B]).
+    """
+    B, P = prompt_ids.shape
+    W = num_beams
+    V = None  # from logits at trace time
+
+    # expand prompts to beams: [B*W, ...]
+    rep = lambda x: jnp.repeat(x, W, axis=0)
+    buf = jnp.full((B * W, max_length), pad_id, jnp.int32)
+    buf = jax.lax.dynamic_update_slice(buf, rep(prompt_ids), (0, 0))
+    plen = rep(prompt_len)
+    state = init_state_fn(B * W)
+
+    # beam scores: beam 0 active, others -inf so the first expansion draws
+    # W distinct continuations from beam 0
+    scores0 = jnp.tile(jnp.array([0.0] + [NEG_INF] * (W - 1), jnp.float32), (B,))
+    finished0 = jnp.zeros((B * W,), bool)
+
+    def body(carry, t):
+        state, buf, scores, finished = carry
+        cur = buf[:, t]
+        logits, state = decode_step(cur, state)            # [B*W, V]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        V = logp.shape[-1]
+
+        in_prompt = (t + 1) < plen                         # [B*W]
+        # finished or teacher-forced beams contribute a single deterministic
+        # continuation at unchanged score
+        forced_tok = jnp.where(finished, pad_id, buf[:, t + 1])
+        # candidate scores [B*W, V]
+        cand = scores[:, None] + logp
+        # frozen rows: only forced_tok allowed, at current score
+        frozen = finished | in_prompt
+        onehot = jax.nn.one_hot(forced_tok, V, dtype=jnp.float32)
+        cand = jnp.where(frozen[:, None],
+                         scores[:, None] * onehot + NEG_INF * (1 - onehot), cand)
+
+        cand = cand.reshape(B, W * V)
+        top_scores, top_idx = jax.lax.top_k(cand, W)       # [B, W]
+        beam_idx = top_idx // V                            # which source beam
+        tok_idx = (top_idx % V).astype(jnp.int32)
+        flat_src = (jnp.arange(B)[:, None] * W + beam_idx).reshape(B * W)
+
+        # reorder everything by source beam
+        buf = buf[flat_src]
+        if reorder_state is not None:
+            state = reorder_state(state, flat_src)
+        else:
+            state = jax.tree.map(
+                lambda x: x[flat_src] if (hasattr(x, 'ndim') and x.ndim > 0
+                                          and x.shape[0] == B * W) else x, state)
+        finished = finished[flat_src]
+        scores = top_scores.reshape(B * W)
+        nxt = tok_idx.reshape(B * W)
+        new_finished = finished | ((nxt == eos_id) & ~in_prompt[flat_src])
+        buf = buf.at[:, t + 1].set(jnp.where(finished, pad_id, nxt))
+        return (state, buf, scores, new_finished), None
+
+    (state, buf, scores, finished), _ = jax.lax.scan(
+        body, (state, buf, scores0, finished0), jnp.arange(max_length - 1))
+
+    # final selection with length penalty
+    idx = jnp.arange(max_length)[None, :]
+    is_eos = (buf == eos_id) & (idx >= (plen[:, None] - 1))
+    any_eos = jnp.any(is_eos, axis=1)
+    first_eos = jnp.argmax(is_eos, axis=1)
+    out_len = jnp.where(any_eos, first_eos + 1, max_length)
+    norm = scores / (out_len.astype(jnp.float32) ** length_penalty)
+    best = jnp.argmax(norm.reshape(B, W), axis=1)          # [B]
+    sel = jnp.arange(B) * W + best
+    buf = jnp.where(idx < out_len[sel][:, None], buf[sel], pad_id)
+    return buf, out_len[sel].astype(jnp.int32)

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from musicnlp_tpu.models.transformer_xl import TransfoXL
-from musicnlp_tpu.ops.sampling import SampleConfig, generate_scan
+from musicnlp_tpu.models.transformer_xl import DecodeState
+from musicnlp_tpu.ops.sampling import SampleConfig, beam_generate, generate_scan
 from musicnlp_tpu.preprocess import transform as tsf
 from musicnlp_tpu.preprocess.music_converter import MusicConverter
 from musicnlp_tpu.utils.checkpoint import restore_pytree
@@ -230,7 +231,8 @@ class MusicGenerator:
         """Batch of prompt token-strings -> generated token-strings."""
         tok = self.tokenizer
         max_length = max_length or tok.model_max_length
-        cfg = SampleConfig(strategy=strategy, **strategy_args)
+        cfg = (SampleConfig(strategy='greedy') if strategy == 'beam'
+               else SampleConfig(strategy=strategy, **strategy_args))
         enc = [tok.encode(p) for p in prompts]
         plen = np.array([len(e) for e in enc], np.int32)
         P = int(plen.max())
@@ -238,17 +240,34 @@ class MusicGenerator:
         for i, e in enumerate(enc):
             prompt_ids[i, :len(e)] = e
 
-        key = (len(enc), P, max_length, cfg)
+        key = (len(enc), P, max_length, strategy, cfg,
+               tuple(sorted(strategy_args.items())) if strategy == 'beam' else None)
         if key not in self._jit_gen:
             model = self.model
 
-            def run(params, prompt_ids, plen, rng):
-                st = model.init_decode_state(prompt_ids.shape[0])
-                return generate_scan(
-                    lambda t, s: model.decode_step(params, t, s), st,
-                    prompt_ids, plen, max_length=max_length,
-                    eos_id=tok.eos_token_id, pad_id=tok.pad_token_id,
-                    sample_cfg=cfg, vocab_size=tok.vocab_size, rng=rng)
+            if strategy == 'beam':
+                num_beams = int(strategy_args.get('num_beams', 4))
+                length_penalty = float(strategy_args.get('length_penalty', 1.0))
+
+                def reorder(st: DecodeState, idx):
+                    return DecodeState(st.cache_k[:, idx], st.cache_v[:, idx],
+                                       st.cache_pos, st.step)
+
+                def run(params, prompt_ids, plen, rng):
+                    return beam_generate(
+                        lambda t, s: model.decode_step(params, t, s),
+                        model.init_decode_state, prompt_ids, plen,
+                        max_length=max_length, eos_id=tok.eos_token_id,
+                        pad_id=tok.pad_token_id, num_beams=num_beams,
+                        length_penalty=length_penalty, reorder_state=reorder)
+            else:
+                def run(params, prompt_ids, plen, rng):
+                    st = model.init_decode_state(prompt_ids.shape[0])
+                    return generate_scan(
+                        lambda t, s: model.decode_step(params, t, s), st,
+                        prompt_ids, plen, max_length=max_length,
+                        eos_id=tok.eos_token_id, pad_id=tok.pad_token_id,
+                        sample_cfg=cfg, vocab_size=tok.vocab_size, rng=rng)
             self._jit_gen[key] = jax.jit(run)
 
         rng = jax.random.PRNGKey(int(time.time()) if seed is None else seed)

@@ -283,9 +283,21 @@ def asdict_config(cfg: TransfoXLConfig) -> Dict:
 def get_model_n_tokenizer(
         model_name: str, model_size: str, vocab_size: int = None,
         pitch_kind: str = 'degree', max_length: int = None, model_config: Dict = None,
+        tokenizer_scheme: str = 'vanilla', tokenizer_path: str = None,
 ) -> Tuple[Any, MusicTokenizer]:
-    """Mirror of reference train.py:31-59 wiring (vanilla tokenizer scheme)."""
-    tokenizer = MusicTokenizer(pitch_kind=pitch_kind)
+    """Mirror of reference train.py:31-59 wiring; tokenizer scheme is
+    vanilla | wordpiece | pairmerge (trained artifact loaded from
+    `tokenizer_path`, reference train.py:31-47)."""
+    if tokenizer_scheme == 'vanilla':
+        tokenizer = MusicTokenizer(pitch_kind=pitch_kind)
+    elif tokenizer_scheme == 'wordpiece':
+        from musicnlp_tpu.trainer.wordpiece_tokenizer import WordPieceMusicTokenizer
+        tokenizer = WordPieceMusicTokenizer.from_file(tokenizer_path)
+    elif tokenizer_scheme == 'pairmerge':
+        from musicnlp_tpu.trainer.pair_merge_tokenizer import PairMergeTokenizer
+        tokenizer = PairMergeTokenizer.from_file(tokenizer_path)
+    else:
+        raise ValueError(f'Unknown tokenizer scheme {tokenizer_scheme!r}')
     if model_name == 'transf-xl':
         cfg = TransfoXLConfig.from_size(
             model_size, vocab_size or tokenizer.vocab_size,

@@ -98,3 +98,17 @@ def test_conditional_generation_e2e(gen, tmp_path):
     assert outs[0]['text'].count('<bar>') >= 1
     assert outs[0]['text'].endswith('</s>')
     assert os.path.exists(outs[0]['midi'])
+
+
+def test_beam_generation(gen):
+    prompts = [gen.unconditional_prompt()]
+    a = gen.generate(prompts, strategy='beam', max_length=32, num_beams=4)
+    b = gen.generate(prompts, strategy='beam', max_length=32, num_beams=4)
+    assert a == b                       # deterministic
+    assert a[0].startswith(prompts[0])
+    assert len(a[0].split()) <= 32
+    # beam must be at least as good as greedy under sum-logprob (weak check:
+    # it differs or equals; both are valid token streams)
+    g = gen.generate(prompts, strategy='greedy', max_length=32)
+    assert all(t in gen.vocab for t in a[0].split())
+    assert all(t in gen.vocab for t in g[0].split())
