@@ -133,8 +133,106 @@ def get_baseline(size: str, seq: int) -> float:
     return cache[key]['tokens_per_sec']
 
 
+def measure_decode_ours(size: str, gen_len: int, bsz: int) -> dict:
+    """Batched sampling decode via the KV-ring scan; tokens/sec + p50 latency."""
+    import jax
+    import jax.numpy as jnp
+
+    from musicnlp_tpu.models.transformer_xl import TransfoXL, TransfoXLConfig
+    from musicnlp_tpu.ops.sampling import SampleConfig, generate_scan
+
+    cfg = TransfoXLConfig.from_size(size, vocab_size=1190, max_length=gen_len,
+                                    dtype='bfloat16')
+    model = TransfoXL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (bsz, 4), 8,
+                                cfg.vocab_size, dtype=jnp.int32)
+    plen = jnp.full((bsz,), 4, jnp.int32)
+    scfg = SampleConfig(strategy='sample', top_k=8)
+
+    @jax.jit
+    def run(params, prompt, plen, rng):
+        st = model.init_decode_state(bsz)
+        return generate_scan(
+            lambda t, s: model.decode_step(params, t, s), st, prompt, plen,
+            max_length=gen_len, eos_id=3, pad_id=1, sample_cfg=scfg,
+            vocab_size=cfg.vocab_size, rng=rng)
+
+    ids, _ = run(params, prompt, plen, jax.random.PRNGKey(2))
+    int(ids[0, 0])
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        ids, _ = run(params, prompt, plen, jax.random.PRNGKey(3 + i))
+        int(ids[0, 0])
+    dt = (time.perf_counter() - t0) / reps
+    return dict(tokens_per_sec=bsz * gen_len / dt,
+                p50_song_latency_s=dt)   # whole batch decodes as one program
+
+
+def measure_decode_baseline(size: str, gen_len: int) -> float:
+    """Reference decode: HF TransfoXL mems-as-past loop, torch CPU, tokens/s.
+    (transformers 4.57 removed `generate` from TransfoXL, so this drives the
+    same last-token + mems loop `prepare_inputs_for_generation` set up,
+    reference models/transformer_xl.py:223-241.)"""
+    import torch
+    from transformers import TransfoXLConfig as HFConfig
+    from transformers import TransfoXLLMHeadModel
+
+    _orig_type_as = torch.Tensor.type_as
+    def _type_as(self, other=None, dtype=None):
+        return self.to(dtype if dtype is not None else other.dtype)
+    torch.Tensor.type_as = _type_as
+
+    presets = {'debug': (128, 8, 4), 'tiny': (256, 8, 6), 'small': (512, 8, 12),
+               'base': (768, 12, 12), 'large': (1024, 16, 18)}
+    d, nh, nl = presets[size]
+    cfg = HFConfig(vocab_size=1190, d_model=d, d_embed=d, n_head=nh,
+                   d_head=d // nh, d_inner=d * 4, n_layer=nl,
+                   mem_len=max(128, gen_len // 8), clamp_len=1024,
+                   div_val=1, cutoffs=[1000])
+    model = TransfoXLLMHeadModel(cfg).eval()
+    n = min(48, gen_len)
+    with torch.no_grad():
+        tok = torch.randint(8, 1190, (1, 4))
+        out = model(input_ids=tok)
+        mems = out.mems
+        tok = out.prediction_scores[:, -1].argmax(-1, keepdim=True)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = model(input_ids=tok, mems=mems)
+            mems = out.mems
+            tok = out.prediction_scores[:, -1].argmax(-1, keepdim=True)
+        dt = time.perf_counter() - t0
+    return n / dt
+
+
 def main():
     size = os.environ.get('BENCH_SIZE', 'base')
+    mode = os.environ.get('BENCH_MODE', 'train')
+    if mode == 'decode':
+        gen_len = int(os.environ.get('BENCH_SEQ', 1024))
+        bsz = int(os.environ.get('BENCH_BSZ', 64))
+        key = f'decode-{size}-len{gen_len}'
+        cache = {}
+        if os.path.exists(BASELINE_CACHE):
+            with open(BASELINE_CACHE) as f:
+                cache = json.load(f)
+        if key not in cache or os.environ.get('BENCH_REMEASURE_BASELINE'):
+            cache[key] = dict(
+                tokens_per_sec=measure_decode_baseline(size, gen_len),
+                what='HF TransfoXL mems decode loop, torch CPU, bsz 1',
+                measured_at=time.strftime('%Y-%m-%d %H:%M:%S'))
+            with open(BASELINE_CACHE, 'w') as f:
+                json.dump(cache, f, indent=2)
+        ours = measure_decode_ours(size, gen_len, bsz)
+        print(json.dumps(dict(
+            metric=f'tfxl_{size}_decode_tokens_per_sec_per_chip',
+            value=round(ours['tokens_per_sec'], 1), unit='tokens/sec/chip',
+            vs_baseline=round(ours['tokens_per_sec']
+                              / cache[key]['tokens_per_sec'], 2),
+            p50_song_latency_s=round(ours['p50_song_latency_s'], 3))))
+        return
     seq = int(os.environ.get('BENCH_SEQ', 1024))
     bsz = int(os.environ.get('BENCH_BSZ', 16))
     steps = int(os.environ.get('BENCH_STEPS', 10))

@@ -19,7 +19,7 @@ TPU-native substitutions (same capability, better mapping to XLA):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,19 @@ from musicnlp_tpu.ops.layers import (
 )
 from musicnlp_tpu.ops.losses import ntp_accuracy, shifted_ce_loss
 
-__all__ = ['ReformerConfig', 'Reformer']
+__all__ = ['ReformerConfig', 'Reformer', 'ReformerDecodeState']
+
+
+class ReformerDecodeState(NamedTuple):
+    """Decode state: the token buffer itself (exact full-prefix re-forward).
+
+    LSH bucketing makes an exact incremental cache impossible (chunk
+    membership of past keys shifts as the sequence grows), so decoding
+    re-forwards the padded prefix each step -- exact, O(T) forwards per song.
+    A bucket-cached approximate decoder is a known follow-up.
+    """
+    buf: jnp.ndarray    # int32 [B, L]
+    step: jnp.ndarray   # int32 scalar: next write position
 
 
 def _auto_buckets(T: int, chunk: int) -> int:
@@ -235,6 +247,26 @@ class Reformer:
             x = jax.nn.relu(dense(p['w1'], x))
             return dense(p['w2'], x)
         return ff
+
+    # ---------------------------------------------------------------- decode
+    def init_decode_state(self, batch_size: int) -> ReformerDecodeState:
+        return ReformerDecodeState(
+            buf=jnp.zeros((batch_size, self.cfg.max_length), jnp.int32),
+            step=jnp.zeros((), jnp.int32))
+
+    def decode_step(self, params: Params, token_ids: jnp.ndarray,
+                    state: ReformerDecodeState):
+        """Same duck-typed API as TransfoXL.decode_step, usable by
+        ops.sampling.generate_scan / MusicGenerator."""
+        buf = jax.lax.dynamic_update_slice(
+            state.buf, token_ids[:, None], (0, state.step))
+        pad_mask = (jnp.arange(self.cfg.max_length) <= state.step)[None, :]
+        pad_mask = jnp.broadcast_to(pad_mask, buf.shape)
+        logits = self.forward(params, buf, pad_mask=pad_mask)
+        cur = jnp.take_along_axis(
+            logits, state.step[None, None, None].repeat(buf.shape[0], 0),
+            axis=1)[:, 0]
+        return cur, ReformerDecodeState(buf=buf, step=state.step + 1)
 
     # ------------------------------------------------------------ train loss
     def loss(self, params: Params, input_ids: jnp.ndarray, labels: jnp.ndarray,

@@ -182,3 +182,23 @@ def test_reformer_pad_mask(debug_reformer):
     lb = model.forward(params, ids_b, pad_mask=pad_mask[None])
     np.testing.assert_allclose(np.asarray(la)[0, :48], np.asarray(lb)[0, :48],
                                rtol=2e-3, atol=2e-3)
+
+
+def test_reformer_decode_matches_forward(debug_reformer):
+    """Full-prefix decode logits == forward logits at each position."""
+    import jax.numpy as jnp
+    model, params = debug_reformer
+    B, T = 1, 64
+    ids = jax.random.randint(jax.random.PRNGKey(21), (B, T), 2, 128)
+    pad_mask = jnp.ones((B, T), bool)
+    want = model.forward(params, ids, pad_mask=pad_mask)
+    st = model.init_decode_state(B)
+    step = jax.jit(model.decode_step)
+    for t in range(8):                  # first 8 steps (each is a full fwd)
+        lg, st = step(params, ids[:, t], st)
+        # forward over the same prefix (rest padded+masked)
+        buf = jnp.zeros((B, T), jnp.int32).at[:, :t + 1].set(ids[:, :t + 1])
+        pm = (jnp.arange(T) <= t)[None, :]
+        ref = model.forward(params, buf, pad_mask=jnp.broadcast_to(pm, buf.shape))
+        np.testing.assert_allclose(np.asarray(lg), np.asarray(ref[:, t]),
+                                   rtol=1e-4, atol=1e-4)
