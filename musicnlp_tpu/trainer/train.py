@@ -219,8 +219,9 @@ class Trainer:
                 self.train_dataset.resample()  # proportional-mixing per-epoch
             t_ep = time.time()
             n_tok_ep = 0
-            for batch in self.train_dataset.batches(
-                    args.batch_size, shuffle=True, seed=args.seed + epoch):
+            from musicnlp_tpu.utils.prefetch import prefetch
+            for batch in prefetch(self.train_dataset.batches(
+                    args.batch_size, shuffle=True, seed=args.seed + epoch)):
                 self._rng, r = jax.random.split(self._rng)
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 params, opt_state, mets = self.train_step(params, opt_state, batch, r)
@@ -231,8 +232,14 @@ class Trainer:
                                lr=float(self.lr_sched(global_step)),
                                **{k: float(v) for k, v in mets.items()})
                     self._log(rec)
+                    logger.info(
+                        'step %d ep %d | loss %.4f acc %.4f ikr %.4f lr %.2e',
+                        global_step, epoch, rec['loss'], rec['ntp_acc'],
+                        rec['ikr'], rec['lr'])
             dt = time.time() - t_ep
             ep_rec = dict(epoch=epoch, train_tokens_per_sec=n_tok_ep / max(dt, 1e-9))
+            logger.info('epoch %d done: %.0f tokens/sec', epoch,
+                        ep_rec['train_tokens_per_sec'])
             if self.eval_dataset is not None:
                 ev = self.evaluate(params)
                 ep_rec.update({f'eval_{k}': v for k, v in ev.items()})
@@ -327,3 +334,75 @@ def get_all_setup(
     args = TrainArgs.from_preset(model_name, model_size, **(train_args or {}))
     return Trainer(model, tokenizer, train_dataset, eval_dataset, args=args,
                    out_dir=out_dir, n_model=n_model)
+
+
+# --------------------------------------------------------------------- recipes
+# The reference's published training recipes (reference generated-samples/
+# README.md; trainer/train.py:474-591 __main__ configs; BASELINE.md).
+RECIPES: Dict[str, Dict] = {
+    # Reformer base, midi pitch, 8 epochs (POP909 + LMD subset)
+    '22-04': dict(
+        model_name='reformer', model_size='base', pitch_kind='midi',
+        max_length=2048,
+        train_args=dict(num_train_epochs=8, batch_size=32),
+        augment=dict(random_crop=True, channel_mixup=True),
+        generation=dict(strategy='sample', top_p=0.9),
+    ),
+    # TF-XL base, degree pitch, seq 1024 / mem 512, 128 epochs,
+    # proportional mixing + key augmentation (the headline recipe)
+    '22-11': dict(
+        model_name='transf-xl', model_size='base', pitch_kind='degree',
+        max_length=1024, model_config=dict(mem_len=512),
+        train_args=dict(num_train_epochs=128, batch_size=21, weight_decay=0.1),
+        augment=dict(random_crop=True, insert_key=True, pitch_shift=True,
+                     channel_mixup=True),
+        proportional_mixing_k=32768, ikr_mode='ins-key',
+        generation=dict(strategy='sample', top_k=8),
+    ),
+    # TF-XL small, longer sequence (seq 2048 / mem 1024), top-k 8 sampling
+    '22-12': dict(
+        model_name='transf-xl', model_size='small', pitch_kind='degree',
+        max_length=2048, model_config=dict(mem_len=1024),
+        train_args=dict(num_train_epochs=128, batch_size=21, weight_decay=0.1),
+        augment=dict(random_crop=True, insert_key=True, pitch_shift=True,
+                     channel_mixup=True),
+        proportional_mixing_k=32768, ikr_mode='ins-key',
+        generation=dict(strategy='sample', top_k=8),
+    ),
+}
+
+
+def setup_recipe(name: str, song_datasets, eval_datasets=None,
+                 out_dir: str = None, n_model: int = 1,
+                 train_args: Dict = None) -> Trainer:
+    """Wire a named recipe end to end: model + tokenizer + augmented datasets
+    (+ proportional mixing when the recipe uses it) + Trainer."""
+    from musicnlp_tpu.preprocess.dataset import (
+        AugmentedDataset, ProportionMixingDataset, SongDataset,
+    )
+    r = RECIPES[name]
+    model, tokenizer = get_model_n_tokenizer(
+        r['model_name'], r['model_size'], pitch_kind=r['pitch_kind'],
+        max_length=r['max_length'], model_config=r.get('model_config'))
+    aug = dict(r['augment'])
+    if isinstance(song_datasets, SongDataset):
+        song_datasets = [song_datasets]
+    trains = [AugmentedDataset(sd, tokenizer, dataset_split='train', **aug)
+              for sd in song_datasets]
+    k = r.get('proportional_mixing_k')
+    train = (ProportionMixingDataset(trains, k=k) if (k and len(trains) > 1)
+             else trains[0] if len(trains) == 1 else
+             ProportionMixingDataset(trains, k=k or 10 ** 9))
+    evald = None
+    if eval_datasets is not None:
+        if isinstance(eval_datasets, SongDataset):
+            eval_datasets = [eval_datasets]
+        aug_eval = {k_: v for k_, v in aug.items() if k_ != 'random_crop'}
+        evald = AugmentedDataset(eval_datasets[0], tokenizer,
+                                 random_crop=False, dataset_split='test',
+                                 **aug_eval)
+    args = TrainArgs.from_preset(r['model_name'], r['model_size'],
+                                 **dict(r.get('train_args', {}),
+                                        **(train_args or {})))
+    return Trainer(model, tokenizer, train, evald, args=args, out_dir=out_dir,
+                   n_model=n_model, ikr_mode=r.get('ikr_mode', 'vanilla'))

@@ -141,3 +141,42 @@ def test_ikr_metric_exact():
     preds = np.concatenate([ids, ids[:, -1:]], axis=1)  # align: preds[:, :-1] == ids
     got = ikr(preds, np.full_like(preds, 0), ks)
     assert np.isclose(got, 0.75)
+
+
+def test_recipe_setup_22_11():
+    """Named-recipe wiring (22-11: TF-XL base, degree, mem 512, key-aug)."""
+    from musicnlp_tpu.trainer.train import RECIPES, setup_recipe
+    from musicnlp_tpu.preprocess.dataset import ProportionMixingDataset, SongDataset
+    from musicnlp_tpu.vocab import MusicVocabulary
+    vs = MusicVocabulary(pitch_kind='step')
+    sd1 = SongDataset.from_songs(_songs(6, seed=1), vocab=vs)
+    sd2 = SongDataset.from_songs(_songs(4, seed=2), vocab=vs)
+    tr = setup_recipe('22-11', [sd1, sd2], eval_datasets=sd2,
+                      train_args=dict(num_train_epochs=1, batch_size=2))
+    assert tr.model.cfg.model_size == 'base'
+    assert tr.model.cfg.mem_len == 512 and tr.model.cfg.max_length == 1024
+    assert tr.tokenizer.pitch_kind == 'degree'
+    assert isinstance(tr.train_dataset, ProportionMixingDataset)
+    assert tr.ikr.mode == 'ins-key'
+    assert tr.args.weight_decay == 0.1 and tr.args.batch_size == 2
+    item = tr.train_dataset[0]
+    assert item['input_ids'].shape == (1024,)
+    # key token inserted at position 2
+    from musicnlp_tpu.vocab import key_str2ordinal
+    tok2 = int(item['input_ids'][2])
+    assert tr.tokenizer.vocab.i2t(tok2).startswith('Key_')
+
+
+def test_ordinal2fnm_and_ledger(tmp_path):
+    from musicnlp_tpu.utils.music_fs import ConversionLedger, Ordinal2Fnm
+    o = Ordinal2Fnm(total=176640, group_size=10000, ext='mid')
+    assert o(42) == '000000-010000/000042.mid'
+    assert o(10000) == '010000-020000/010000.mid'
+    assert o(176639) == '170000-176640/176639.mid'
+    led = ConversionLedger(str(tmp_path / 'meta.csv'))
+    led.record('a - b', 'converted', backend='MS')
+    led.record('c - d', 'error', detail='broken file')
+    led.save()
+    led2 = ConversionLedger(str(tmp_path / 'meta.csv'))
+    assert led2.status('a - b') == 'converted'
+    assert led2.summary() == {'converted': 1, 'error': 1}
