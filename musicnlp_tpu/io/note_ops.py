@@ -93,6 +93,8 @@ def notes_have_gap(notes: Iterable[ExtNote], enforce_no_overlap: bool = True,
     note = next(it, None)
     if note is None:
         return duration is not None and duration > 0
+    if get_offset(note) > eps:      # leading gap (MIDI input has no rests)
+        return True
     last_end = get_end_qlen(note)
     for note in it:
         diff = get_offset(note) - last_end

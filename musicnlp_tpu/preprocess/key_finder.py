@@ -8,7 +8,7 @@ SURVEY.md §7 step 3).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Tuple, Union
+from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -62,12 +62,20 @@ def get_durations(score: Score) -> np.ndarray:
 class KeyFinder:
     """Find candidate keys of a piece with confidences."""
 
-    def __init__(self, song: Union[str, Score]):
-        self.piece: Score = parse_file(song) if isinstance(song, str) else song
+    def __init__(self, song: Union[str, Score] = None,
+                 pc_durations: np.ndarray = None):
+        """Takes a score/path OR a precomputed 12-dim pitch-class duration
+        histogram (the fast native extraction path supplies the latter)."""
+        self.piece: Optional[Score] = (
+            parse_file(song) if isinstance(song, str) else song)
+        self._pc_durations = pc_durations
+        assert self.piece is not None or pc_durations is not None
 
     def __call__(self, return_type: str = 'list') -> Union[Keys, KeysDict]:
         assert return_type in ('list', 'enum', 'dict')
-        durations = get_durations(self.piece)
+        durations = (np.asarray(self._pc_durations, float)
+                     if self._pc_durations is not None
+                     else get_durations(self.piece))
 
         # vectorized correlation of `durations` against all 24 rotated profiles
         d = durations - durations.mean()

@@ -43,6 +43,7 @@ class SingleExport:
     extractor_args: Dict[str, Any] = field(default_factory=dict)
     output_dir: Optional[str] = None          # save-each mode when set
     halt_on_error: bool = True
+    fast_midi: bool = False                   # native C++ kernel for .mid files
 
     def __call__(self, path: str) -> Optional[Dict[str, Any]]:
         out_path = None
@@ -51,10 +52,22 @@ class SingleExport:
             if os.path.exists(out_path):      # resume (reference :53-56)
                 return None
         try:
-            extractor = MusicExtractor(**self.extractor_args)
-            d = extractor(path, exp='str_join', return_meta=True, return_key=True)
-            rec = dict(score=d.score, title=d.title, duration=d.duration,
-                       keys=d.keys, warnings=d.warnings, song_path=path)
+            rec = None
+            if self.fast_midi and path.lower().endswith(('.mid', '.midi')):
+                from musicnlp_tpu.preprocess.fast_extractor import (
+                    FastMidiExtractor, fast_extract_available,
+                )
+                if fast_extract_available():
+                    fx = FastMidiExtractor(
+                        precision=self.extractor_args.get('precision', 5),
+                        mode=self.extractor_args.get('mode', 'full'))
+                    rec = dict(fx.extract_with_meta(path), song_path=path)
+            if rec is None:
+                extractor = MusicExtractor(**self.extractor_args)
+                d = extractor(path, exp='str_join', return_meta=True,
+                              return_key=True)
+                rec = dict(score=d.score, title=d.title, duration=d.duration,
+                           keys=d.keys, warnings=d.warnings, song_path=path)
         except Exception as e:
             if self.halt_on_error:
                 raise
@@ -81,7 +94,7 @@ class MusicExport:
             self, songs: Union[str, Sequence[str]], output_dir: str = None,
             save_each: bool = True, parallel: Union[bool, int] = False,
             parallel_mode: str = 'process', halt_on_error: bool = None,
-            subset: Optional[Tuple[int, int]] = None,
+            subset: Optional[Tuple[int, int]] = None, fast_midi: bool = False,
     ) -> Dict[str, Any]:
         """songs: dataset name (registry) or explicit file list.
 
@@ -105,7 +118,7 @@ class MusicExport:
 
         job = SingleExport(extractor_args=self.extractor_args,
                            output_dir=output_dir if save_each else None,
-                           halt_on_error=halt_on_error)
+                           halt_on_error=halt_on_error, fast_midi=fast_midi)
         t0 = time.time()
         results: List[Optional[Dict]] = []
         if parallel:

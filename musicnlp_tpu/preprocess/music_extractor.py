@@ -621,7 +621,8 @@ class MusicExtractor:
                 self.log_warn(warn_name=WarnLog.NoteNotQuant, bar_num=i_bar,
                               filled_ranges=_filled_ranges(notes))
             elif notes_have_gap(notes, duration=dur):
-                lst_notes[i_bar], unfilled = fill_with_rest(notes, duration=dur)
+                lst_notes[i_bar], unfilled = fill_with_rest(notes, duration=dur,
+                                                            fill_start=True)
                 self.log_warn(warn_name=WarnLog.BarNoteGap, bar_num=i_bar, time_sig=time_sig,
                               precision=self.prec,
                               unfilled_ranges=[(float(a), float(b)) for a, b in unfilled])
