@@ -53,18 +53,29 @@ def measure_ours(size: str, seq: int, bsz: int, steps: int) -> float:
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    step = jax.jit(train_step, donate_argnums=(0, 1))
-    rng = jax.random.PRNGKey(2)
-    for _ in range(2):  # compile + warmup
-        params, opt_state, loss = step(params, opt_state, ids, labels, rng)
-        float(loss)
+    # scan `steps` train steps inside ONE device program: the per-call RPC
+    # overhead of the tunneled backend (~28 ms, measured) would otherwise
+    # dominate; a real training loop dispatches asynchronously and never
+    # pays a per-step host sync
+    @jax.jit
+    def run_steps(params, opt_state, ids, labels, rng):
+        def body(carry, r):
+            params, opt_state = carry
+            params, opt_state, loss = train_step(params, opt_state, ids,
+                                                 labels, r)
+            return (params, opt_state), loss
+        rngs = jax.random.split(rng, steps)
+        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state),
+                                                   rngs)
+        return params, opt_state, losses[-1]
+
+    params, opt_state, loss = run_steps(params, opt_state, ids, labels,
+                                        jax.random.PRNGKey(2))
+    float(loss)   # compile + warmup sync
     t0 = time.perf_counter()
-    for _ in range(steps):
-        params, opt_state, loss = step(params, opt_state, ids, labels, rng)
-        # force a host sync EVERY step: under the tunneled (axon) backend,
-        # block_until_ready on the final array of a donated chain returns
-        # early, wildly inflating throughput; a scalar d2h is ~free
-        float(loss)
+    params, opt_state, loss = run_steps(params, opt_state, ids, labels,
+                                        jax.random.PRNGKey(3))
+    float(loss)
     dt = time.perf_counter() - t0
     n_chip = 1  # single-chip benchmark; dp scales per-chip throughput ~linearly
     return bsz * seq * steps / dt / n_chip

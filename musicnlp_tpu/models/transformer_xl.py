@@ -277,9 +277,15 @@ class TransfoXL:
     def decode_step(
             self, params: Params, token_ids: jnp.ndarray, state: DecodeState,
     ) -> Tuple[jnp.ndarray, DecodeState]:
+        logits, _, state = self.decode_step_with_hidden(params, token_ids, state)
+        return logits, state
+
+    def decode_step_with_hidden(
+            self, params: Params, token_ids: jnp.ndarray, state: DecodeState,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, DecodeState]:
         """One autoregressive step: token_ids int32 [B] -> (logits f32 [B, V],
-        next state).  Exactly equivalent to forward() on the full prefix with
-        mem_len-window attention."""
+        final hidden [B, d], next state).  Exactly equivalent to forward() on
+        the full prefix with mem_len-window attention."""
         cfg = self.cfg
         dtype = cfg.compute_dtype
         B = token_ids.shape[0]
@@ -302,4 +308,17 @@ class TransfoXL:
 
         logits = self._lm_head(params, h)[:, 0]
         new_pos = state.cache_pos.at[slot].set(state.step)
-        return logits, DecodeState(ck, cv, new_pos, state.step + 1)
+        return logits, h[:, 0], DecodeState(ck, cv, new_pos, state.step + 1)
+
+    # state helpers for beam / contrastive search (batch axis of the caches
+    # is axis 1; positions/step are shared across the batch)
+    @staticmethod
+    def expand_decode_state(state: DecodeState, k: int) -> DecodeState:
+        return DecodeState(jnp.repeat(state.cache_k, k, axis=1),
+                           jnp.repeat(state.cache_v, k, axis=1),
+                           state.cache_pos, state.step)
+
+    @staticmethod
+    def select_decode_state(state: DecodeState, idx: jnp.ndarray) -> DecodeState:
+        return DecodeState(state.cache_k[:, idx], state.cache_v[:, idx],
+                           state.cache_pos, state.step)

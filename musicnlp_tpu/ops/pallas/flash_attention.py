@@ -38,8 +38,8 @@ from musicnlp_tpu.ops.layers import Params, dropout, layer_norm
 __all__ = ['flash_rel_attn', 'fused_rel_attn', 'fused_rel_attn_available']
 
 NEG_INF = -1e30
-DEFAULT_BQ = 128
-DEFAULT_BK = 128
+DEFAULT_BQ = 512
+DEFAULT_BK = 512
 
 
 def fused_rel_attn_available(T: int, S: int, *, bq: int = DEFAULT_BQ,

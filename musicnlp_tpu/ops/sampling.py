@@ -16,7 +16,8 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ['SampleConfig', 'process_logits', 'generate_scan', 'beam_generate']
+__all__ = ['SampleConfig', 'process_logits', 'generate_scan', 'beam_generate',
+           'contrastive_generate']
 
 NEG_INF = -1e30
 
@@ -232,3 +233,77 @@ def beam_generate(
     sel = jnp.arange(B) * W + best
     buf = jnp.where(idx < out_len[sel][:, None], buf[sel], pad_id)
     return buf, out_len[sel].astype(jnp.int32)
+
+
+def contrastive_generate(
+        step_h: Callable, init_state, prompt_ids: jnp.ndarray,
+        prompt_len: jnp.ndarray, *, max_length: int, eos_id: int, pad_id: int,
+        top_k: int = 4, penalty_alpha: float = 0.6, d_model: int,
+        expand_state: Callable, select_state: Callable,
+        hidden_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Contrastive search (HF `penalty_alpha` decoding; reference eval.py
+    strategy 'contrastive'): at each step the top-k candidates are re-scored
+    by (1-a) * p(cand) - a * max cosine-similarity between the candidate's
+    hidden state and every context hidden state, and the argmax is kept.
+
+    step_h: (tokens [n], state) -> (logits [n, V], hidden [n, d], state).
+    expand_state: (state, k) -> state with batch repeated k times.
+    select_state: (state, flat_idx [B]) -> state gathered to batch B.
+    """
+    B, P = prompt_ids.shape
+    K = top_k
+    buf = jnp.full((B, max_length), pad_id, jnp.int32)
+    buf = jax.lax.dynamic_update_slice(buf, prompt_ids, (0, 0))
+    ctx_h0 = jnp.zeros((B, max_length, d_model), hidden_dtype)
+
+    def body(carry, t):
+        state, buf, ctx_h, finished = carry
+        cur = buf[:, t]
+        logits, h_cur, state = step_h(cur, state)
+        ctx_h = jax.lax.dynamic_update_slice(
+            ctx_h, h_cur[:, None].astype(hidden_dtype), (0, t, 0))
+
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        top_p, top_tok = jax.lax.top_k(probs, K)              # [B, K]
+
+        # run all K candidates one step on an expanded copy of the state
+        cand_state = expand_state(state, K)
+        cand_tok = top_tok.reshape(B * K).astype(jnp.int32)
+        _, h_cand, _ = step_h(cand_tok, cand_state)           # [B*K, d]
+        hc = h_cand.reshape(B, K, -1).astype(jnp.float32)
+
+        # degeneration penalty: max cosine sim vs context states <= t
+        ctx = ctx_h.astype(jnp.float32)                       # [B, L, d]
+        ctx_n = ctx / jnp.maximum(
+            jnp.linalg.norm(ctx, axis=-1, keepdims=True), 1e-6)
+        hc_n = hc / jnp.maximum(
+            jnp.linalg.norm(hc, axis=-1, keepdims=True), 1e-6)
+        sim = jnp.einsum('bkd,bld->bkl', hc_n, ctx_n)
+        mask = (jnp.arange(max_length) <= t)[None, None, :]
+        pen = jnp.max(jnp.where(mask, sim, -1.0), axis=-1)    # [B, K]
+
+        score = (1 - penalty_alpha) * top_p - penalty_alpha * pen
+        best = jnp.argmax(score, axis=-1)                     # [B]
+        nxt = jnp.take_along_axis(top_tok, best[:, None], 1)[:, 0].astype(jnp.int32)
+        # adopt the chosen candidate's advanced state
+        state = select_state(cand_state, jnp.arange(B) * K + best)
+
+        in_prompt = (t + 1) < prompt_len
+        nxt_tok = jnp.where(in_prompt, buf[:, t + 1], nxt)
+        new_finished = finished | ((cur == eos_id) & ~in_prompt)
+        nxt_tok = jnp.where(new_finished, pad_id, nxt_tok)
+        buf = buf.at[:, t + 1].set(nxt_tok)
+        return (state, buf, ctx_h, new_finished), None
+
+    finished0 = jnp.zeros((B,), bool)
+    (state, buf, _, _), _ = jax.lax.scan(
+        body, (init_state, buf, ctx_h0, finished0), jnp.arange(max_length - 1))
+
+    idx = jnp.arange(max_length)[None, :]
+    is_eos = (buf == eos_id) & (idx >= (prompt_len[:, None] - 1))
+    any_eos = jnp.any(is_eos, axis=1)
+    first_eos = jnp.argmax(is_eos, axis=1)
+    out_len = jnp.where(any_eos, first_eos + 1, max_length)
+    buf = jnp.where(idx < out_len[:, None], buf, pad_id)
+    return buf, out_len.astype(jnp.int32)

@@ -26,7 +26,9 @@ import numpy as np
 
 from musicnlp_tpu.models.transformer_xl import TransfoXL
 from musicnlp_tpu.models.transformer_xl import DecodeState
-from musicnlp_tpu.ops.sampling import SampleConfig, beam_generate, generate_scan
+from musicnlp_tpu.ops.sampling import (
+    SampleConfig, beam_generate, contrastive_generate, generate_scan,
+)
 from musicnlp_tpu.preprocess import transform as tsf
 from musicnlp_tpu.preprocess.music_converter import MusicConverter
 from musicnlp_tpu.utils.checkpoint import restore_pytree
@@ -231,7 +233,7 @@ class MusicGenerator:
         """Batch of prompt token-strings -> generated token-strings."""
         tok = self.tokenizer
         max_length = max_length or tok.model_max_length
-        cfg = (SampleConfig(strategy='greedy') if strategy == 'beam'
+        cfg = (SampleConfig(strategy='greedy') if strategy in ('beam', 'contrastive')
                else SampleConfig(strategy=strategy, **strategy_args))
         enc = [tok.encode(p) for p in prompts]
         plen = np.array([len(e) for e in enc], np.int32)
@@ -241,11 +243,28 @@ class MusicGenerator:
             prompt_ids[i, :len(e)] = e
 
         key = (len(enc), P, max_length, strategy, cfg,
-               tuple(sorted(strategy_args.items())) if strategy == 'beam' else None)
+               tuple(sorted(strategy_args.items()))
+               if strategy in ('beam', 'contrastive') else None)
         if key not in self._jit_gen:
             model = self.model
 
-            if strategy == 'beam':
+            if strategy == 'contrastive':
+                # HF penalty_alpha decoding (reference eval.py:279-324)
+                k = int(strategy_args.get('top_k', 4))
+                alpha = float(strategy_args.get('penalty_alpha', 0.6))
+
+                def run(params, prompt_ids, plen, rng):
+                    return contrastive_generate(
+                        lambda t, s: model.decode_step_with_hidden(params, t, s),
+                        model.init_decode_state(prompt_ids.shape[0]),
+                        prompt_ids, plen, max_length=max_length,
+                        eos_id=tok.eos_token_id, pad_id=tok.pad_token_id,
+                        top_k=k, penalty_alpha=alpha,
+                        d_model=model.cfg.d_model,
+                        expand_state=model.expand_decode_state,
+                        select_state=model.select_decode_state,
+                        hidden_dtype=model.cfg.compute_dtype)
+            elif strategy == 'beam':
                 num_beams = int(strategy_args.get('num_beams', 4))
                 length_penalty = float(strategy_args.get('length_penalty', 1.0))
 

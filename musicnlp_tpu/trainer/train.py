@@ -223,10 +223,12 @@ class Trainer:
             for batch in prefetch(self.train_dataset.batches(
                     args.batch_size, shuffle=True, seed=args.seed + epoch)):
                 self._rng, r = jax.random.split(self._rng)
+                # count host-side: forcing device scalars every step would
+                # serialize dispatch (the device runs async)
+                n_tok_ep += int((np.asarray(batch['labels']) != PT_LOSS_PAD).sum())
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 params, opt_state, mets = self.train_step(params, opt_state, batch, r)
                 global_step += 1
-                n_tok_ep += int(mets['n_tok'])
                 if global_step % args.logging_steps == 0:
                     rec = dict(step=global_step, epoch=epoch,
                                lr=float(self.lr_sched(global_step)),

@@ -112,3 +112,19 @@ def test_beam_generation(gen):
     g = gen.generate(prompts, strategy='greedy', max_length=32)
     assert all(t in gen.vocab for t in a[0].split())
     assert all(t in gen.vocab for t in g[0].split())
+
+
+def test_contrastive_generation(gen):
+    prompts = [gen.unconditional_prompt()]
+    a = gen.generate(prompts, strategy='contrastive', max_length=24,
+                     top_k=4, penalty_alpha=0.6)
+    b = gen.generate(prompts, strategy='contrastive', max_length=24,
+                     top_k=4, penalty_alpha=0.6)
+    assert a == b                                    # deterministic
+    assert a[0].startswith(prompts[0])
+    assert all(t in gen.vocab for t in a[0].split())
+    # alpha=0 reduces to greedy (penalty ignored)
+    c = gen.generate(prompts, strategy='contrastive', max_length=24,
+                     top_k=1, penalty_alpha=0.0)
+    g = gen.generate(prompts, strategy='greedy', max_length=24)
+    assert c == g
