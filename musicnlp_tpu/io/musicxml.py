@@ -112,12 +112,23 @@ def score2xml(score: Score) -> ET.Element:
                 ET.SubElement(met, 'per-minute').text = (
                     str(int(per_min)) if float(per_min).is_integer() else str(per_min))
                 ET.SubElement(d, 'sound', tempo=str(int(per_min)) if float(per_min).is_integer() else str(per_min))
+            # cursor semantics: simultaneous/overlapping notes need explicit
+            # <backup>/<forward> moves or readers accumulate wrong offsets
+            cursor = Fraction(0)
             for e in m.elements:
+                off = Fraction(e.offset)
+                if off != cursor:
+                    tag = 'backup' if off < cursor else 'forward'
+                    mv = ET.SubElement(me, tag)
+                    ET.SubElement(mv, 'duration').text = str(
+                        abs(int((off - cursor) * DIVISIONS)))
+                    cursor = off
                 if isinstance(e, Chord):
                     for k, p in enumerate(e.pitches):
                         _note_xml(me, e, chord_pitch=p, is_chord_follow=k > 0)
                 else:
                     _note_xml(me, e)
+                cursor = off + Fraction(e.dur)
     return root
 
 

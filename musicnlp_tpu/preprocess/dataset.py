@@ -89,9 +89,17 @@ class SongDataset:
         """Encode raw song dicts ({'score': str, 'keys': {...}, 'title': str})."""
         vocab = vocab or MusicVocabulary(pitch_kind='step')
         bar_id = vocab.tok2id[vocab.start_of_bar]
+        rare_ids = {vocab.tok2id[t] for t in MusicVocabulary.rare_tokens
+                    if t in vocab.tok2id}
         out = []
         for s in songs:
             ids = np.array([vocab.t2i(t) for t in s['score'].split()], dtype=np.int32)
+            n_rare = int(np.isin(ids, list(rare_ids)).sum())
+            if n_rare > 0.1 * len(ids):
+                raise ValueError(
+                    f'{n_rare}/{len(ids)} tokens of {s.get("title")!r} sanitized '
+                    f'to rare -- corpus pitch kind likely mismatches the '
+                    f'{vocab.pitch_kind!r} vocabulary')
             bar_starts = np.where(ids == bar_id)[0].astype(np.int32)
             keys = s.get('keys') or {}
             ks = np.full(N_KEY, -1.0, dtype=np.float32)

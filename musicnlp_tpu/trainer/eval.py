@@ -114,11 +114,15 @@ def repair_generated(text: str, vocab: MusicVocabulary) -> str:
             ok = (closed and len(grp) >= 3 and all(is_pitch(x) for x in grp[:-1])
                   and is_dur(grp[-1]))
             if ok:
+                grp = [v.rest if x == MusicVocabulary.rare_pitch else x
+                       for x in grp]
                 cur += [v.start_of_tuplet, *grp, v.end_of_tuplet]
             i = j + 1 if closed else j
         elif is_pitch(t):
             if i + 1 < n and is_dur(toks[i + 1]):
-                cur += [t, toks[i + 1]]
+                # a rare-pitch token has no renderable pitch: emit a rest
+                cur += [v.rest if t == MusicVocabulary.rare_pitch else t,
+                        toks[i + 1]]
                 i += 2
             else:
                 i += 1  # dangling pitch: drop
@@ -204,6 +208,22 @@ class MusicGenerator:
             text = self.converter.mxl2str(song, pitch_kind='step')
         else:
             text = song
+        # detect the input's pitch kind: corpora may be stored in step kind
+        # (the reference's layout) or directly in the model's kind
+        first_pitch = next((t for t in text.split()
+                            if t.startswith('p_') and t != 'p_r'
+                            and t != MusicVocabulary.rare_pitch), None)
+        in_kind = 'step'
+        if first_pitch is not None:
+            for kind, v in self.converter.pk2v.items():
+                if v.pitch_pattern.match(first_pitch):
+                    in_kind = kind
+                    break
+        if in_kind == self.tokenizer.pitch_kind:
+            text = truncate_first_n_bar(text, n_bar, self.vocab)
+            return ' '.join(self.vocab.sanitize_rare_token(t) for t in text.split())
+        assert in_kind == 'step', \
+            f'cannot map {in_kind}-kind prompt to {self.tokenizer.pitch_kind}'
         text = truncate_first_n_bar(text, n_bar, self._vocab_step)
         text = self._sanitize(text)
         if self.augment_key:

@@ -83,7 +83,7 @@ def test_combine_and_dataset(song_files, tmp_path):
                                    out_path=str(tmp_path / 'combined.json'))
     assert combined['n_song'] == 4
     ds_dir = str(tmp_path / 'ds')
-    paths = json2dataset(combined, ds_dir, test_frac=0.25)
+    paths = json2dataset(combined, ds_dir, test_frac=0.25, pitch_kind='midi')
     assert set(paths) == {'train', 'test'}
     train = SongDataset.load(paths['train'])
     test = SongDataset.load(paths['test'])
