@@ -1,0 +1,5 @@
+from musicnlp_tpu.trainer.train import (
+    RECIPES, TrainArgs, Trainer, get_all_setup, get_model_n_tokenizer,
+    setup_recipe,
+)
+from musicnlp_tpu.trainer.metrics import ComputeMetrics, IkrMetric
