@@ -58,7 +58,7 @@ class TransfoXLConfig:
     # to the jnp path off-TPU, for non-block-divisible shapes, or dropatt>0
     use_flash: bool = True
     flash_block_q: int = 512
-    flash_block_k: int = 512
+    flash_block_k: int = 1024
 
     presets = {
         'debug': dict(d_model=128, n_head=8, n_layer=4),
@@ -182,8 +182,8 @@ class TransfoXL:
                     clamp_len=cfg.clamp_len, pre_lnorm=cfg.pre_lnorm,
                     dropout_rate=cfg.dropout, rng=r_a,
                     deterministic=deterministic,
-                    bq=min(cfg.flash_block_q, Q),
-                    bk=min(cfg.flash_block_k, S))
+                    bq=self._pick_block(Q, cfg.flash_block_q),
+                    bk=self._pick_block(S, cfg.flash_block_k))
             else:
                 h = rel_attn(
                     layer['attn'], h, layer_mems, mem_valid,
@@ -200,13 +200,22 @@ class TransfoXL:
             return logits, new_mems, new_valid
         return logits, None, jnp.zeros((), jnp.int32)
 
+    @staticmethod
+    def _pick_block(n: int, cap: int) -> int:
+        """Largest power-of-two block <= cap that divides n (0 if none)."""
+        b = cap
+        while b >= 128:
+            if n % b == 0:
+                return b
+            b //= 2
+        return 0
+
     def _flash_ok(self, Q: int, S: int, attn_mask) -> bool:
         cfg = self.cfg
         if not cfg.use_flash or attn_mask is not None or cfg.dropatt > 0:
             return False
-        bq = min(cfg.flash_block_q, Q)
-        bk = min(cfg.flash_block_k, S)
-        if Q % bq or S % bk or bq % 128 or bk % 128:
+        if not self._pick_block(Q, cfg.flash_block_q) \
+                or not self._pick_block(S, cfg.flash_block_k):
             return False
         try:
             return jax.devices()[0].platform == 'tpu'

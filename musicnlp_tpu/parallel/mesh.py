@@ -17,10 +17,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ['make_mesh', 'param_specs', 'batch_specs', 'shard_pytree',
-           'replicated_specs']
+__all__ = ['make_mesh', 'make_multislice_mesh', 'param_specs', 'batch_specs',
+           'shard_pytree', 'replicated_specs']
 
-DATA_AXIS, MODEL_AXIS = 'data', 'model'
+DATA_AXIS, MODEL_AXIS, REPLICA_AXIS = 'data', 'model', 'replica'
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
@@ -35,6 +35,27 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     import numpy as np
     dev = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
     return Mesh(dev, (DATA_AXIS, MODEL_AXIS))
+
+
+def make_multislice_mesh(n_replica: int, n_data: int = None, n_model: int = 1,
+                         devices=None) -> Mesh:
+    """(replica, data, model) mesh for multi-slice / multi-pod training.
+
+    Axis order puts `replica` outermost so its collectives (grad psum across
+    slices) ride DCN while `data`/`model` collectives stay on ICI within a
+    slice -- the standard pod-slice layout (SURVEY.md §2.2's TPU-native
+    equivalent).  Batches shard over (replica, data) jointly; see
+    `batch_specs(multislice=True)`.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data is None:
+        assert n % (n_replica * n_model) == 0
+        n_data = n // (n_replica * n_model)
+    import numpy as np
+    dev = np.asarray(devices[:n_replica * n_data * n_model]).reshape(
+        n_replica, n_data, n_model)
+    return Mesh(dev, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
 
 
 def _spec_for(names, leaf) -> P:
@@ -71,12 +92,14 @@ def param_specs(params: Dict[str, Any]) -> Any:
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
-def batch_specs() -> Dict[str, P]:
-    """Shardings for one training batch (data-parallel over the batch axis)."""
+def batch_specs(multislice: bool = False) -> Dict[str, P]:
+    """Shardings for one training batch (data-parallel over the batch axis;
+    jointly over (replica, data) on a multi-slice mesh)."""
+    axis = (REPLICA_AXIS, DATA_AXIS) if multislice else DATA_AXIS
     return dict(
-        input_ids=P(DATA_AXIS, None),
-        labels=P(DATA_AXIS, None),
-        key_scores=P(DATA_AXIS, None),
+        input_ids=P(axis, None),
+        labels=P(axis, None),
+        key_scores=P(axis, None),
     )
 
 

@@ -172,8 +172,9 @@ class Trainer:
     def _build_steps(self):
         model, args = self.model, self.args
         from jax.sharding import NamedSharding, PartitionSpec as P
+        multislice = mesh_lib.REPLICA_AXIS in self.mesh.axis_names
         bspec = {k: NamedSharding(self.mesh, v)
-                 for k, v in mesh_lib.batch_specs().items()}
+                 for k, v in mesh_lib.batch_specs(multislice=multislice).items()}
 
         def train_step(params, opt_state, batch, rng):
             def loss_fn(p):

@@ -180,3 +180,38 @@ def test_ordinal2fnm_and_ledger(tmp_path):
     led2 = ConversionLedger(str(tmp_path / 'meta.csv'))
     assert led2.status('a - b') == 'converted'
     assert led2.summary() == {'converted': 1, 'error': 1}
+
+
+def test_multislice_mesh_train_step(setup):
+    """(replica=2, data=2, model=2) hierarchical mesh runs one step and
+    matches the single-device result."""
+    model, tok, train, evald = setup
+    args = TrainArgs(batch_size=8, learning_rate=1e-3, weight_decay=0.0,
+                     lr_scheduler_type='constant', num_train_epochs=1)
+    mesh3 = mesh_lib.make_multislice_mesh(n_replica=2, n_data=2, n_model=2)
+    assert mesh3.axis_names == ('replica', 'data', 'model')
+    mesh1 = mesh_lib.make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    tr3 = Trainer(model, tok, train, evald, args=args, out_dir='/tmp/ms3', mesh=mesh3)
+    tr1 = Trainer(model, tok, train, evald, args=args, out_dir='/tmp/ms1', mesh=mesh1)
+    pa = model.init(jax.random.PRNGKey(0))
+    pb = model.init(jax.random.PRNGKey(0))
+    p3 = mesh_lib.shard_pytree(pa, mesh_lib.param_specs(pa), mesh3)
+    o3 = jax.jit(tr3.tx.init)(p3)
+    p1 = mesh_lib.shard_pytree(pb, mesh_lib.param_specs(pb), mesh1)
+    o1 = jax.jit(tr1.tx.init)(p1)
+    batch = next(train.batches(8, shuffle=False))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(1)
+    _, _, m3 = tr3.train_step(p3, o3, batch, rng)
+    _, _, m1 = tr1.train_step(p1, o1, batch, rng)
+    assert np.isclose(float(m3['loss']), float(m1['loss']), rtol=1e-4)
+
+
+def test_batches_host_sharding(setup):
+    _, _, train, _ = setup
+    full = next(train.batches(8, shuffle=True, seed=5))
+    parts = [next(train.batches(8, shuffle=True, seed=5, shard=(h, 4)))
+             for h in range(4)]
+    got = np.concatenate([p['input_ids'] for p in parts])
+    np.testing.assert_array_equal(got, full['input_ids'])
+    assert parts[0]['input_ids'].shape[0] == 2
