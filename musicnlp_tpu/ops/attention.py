@@ -17,13 +17,13 @@ TPU-native design decisions:
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from musicnlp_tpu.ops.layers import (
-    Params, dense_init, layer_norm, layer_norm_init, sinusoid_pos_emb, dropout,
+    Params, layer_norm, layer_norm_init, sinusoid_pos_emb, dropout,
 )
 
 __all__ = ['rel_attn_init', 'rel_attn', 'rel_attn_decode_step', 'rel_shift']

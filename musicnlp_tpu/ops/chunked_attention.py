@@ -12,7 +12,7 @@ dynamic shapes, no per-bucket loops.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

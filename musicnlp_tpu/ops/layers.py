@@ -11,7 +11,7 @@ musicnlp/models/reformer.py:90).  Design rules:
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ the W_r / bias gradients automatically around the core.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

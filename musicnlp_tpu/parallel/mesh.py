@@ -11,10 +11,9 @@ configuration, but the rules below make every preset scalable.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ['make_mesh', 'make_multislice_mesh', 'param_specs', 'batch_specs',

@@ -14,13 +14,13 @@ Modes (reference metrics.py:53-66):
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Union
+from typing import Dict, Optional
 
 import numpy as np
 
 from musicnlp_tpu.ops.losses import PT_LOSS_PAD, ikr_from_ids, ntp_accuracy
 from musicnlp_tpu.vocab import (
-    MusicTokenizer, MusicVocabulary, N_KEY, key_inkey_mask, key_ordinal2str,
+    MusicTokenizer, N_KEY, key_inkey_mask, key_ordinal2str,
 )
 
 __all__ = ['IkrMetric', 'ComputeMetrics']

@@ -18,11 +18,10 @@ from __future__ import annotations
 
 import json
 import logging
-import math
 import os
 import time
-from dataclasses import asdict, dataclass, field
-from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple, Union
+from dataclasses import asdict, dataclass
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +33,7 @@ from musicnlp_tpu.ops.losses import PT_LOSS_PAD, ikr_from_ids
 from musicnlp_tpu.parallel import mesh as mesh_lib
 from musicnlp_tpu.trainer.metrics import IkrMetric
 from musicnlp_tpu.utils import checkpoint as ckpt
-from musicnlp_tpu.vocab import MusicTokenizer, key_inkey_mask
+from musicnlp_tpu.vocab import MusicTokenizer
 
 __all__ = ['TrainArgs', 'Trainer', 'get_model_n_tokenizer', 'get_all_setup']
 
@@ -171,7 +170,7 @@ class Trainer:
 
     def _build_steps(self):
         model, args = self.model, self.args
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import NamedSharding
         multislice = mesh_lib.REPLICA_AXIS in self.mesh.axis_names
         bspec = {k: NamedSharding(self.mesh, v)
                  for k, v in mesh_lib.batch_specs(multislice=multislice).items()}

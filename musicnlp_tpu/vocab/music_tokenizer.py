@@ -9,7 +9,7 @@ array-native end to end.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Union
 
 import numpy as np
 

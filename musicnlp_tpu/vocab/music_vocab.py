@@ -21,7 +21,7 @@ import re
 from enum import Enum
 from fractions import Fraction
 from functools import cached_property
-from typing import Dict, List, Optional, Sequence, Set, Tuple, Union
+from typing import Dict, List, Optional, Set, Tuple, Union
 
 import numpy as np
 
