@@ -137,3 +137,51 @@ def test_wordpiece_padding_truncation():
     assert len(ids) == 64 and ids[-1] == tok.pad_token_id
     ids_t = tok.encode(SONGS[0], truncation=True, max_length=5)
     assert len(ids_t) == 5
+
+
+def test_string_dataset_with_wordpiece():
+    """Learned tokenizers train through the string pipeline (the id-space
+    AugmentedDataset cannot represent merged ids)."""
+    from musicnlp_tpu.preprocess.dataset import StringAugmentedDataset
+    songs = [dict(score=s, keys={'CMajor': 0.8}) for s in SONGS]
+    tr = WordPieceMusicTrainer(pitch_kind='midi')
+    tok = tr(SONGS, vocab_size=2 * len(MusicVocabulary(pitch_kind='midi')) + 16)
+    tok.model_max_length = 48
+    ds = StringAugmentedDataset(songs, tok, random_crop=False,
+                                channel_mixup=True)
+    item = ds[0]
+    assert item['input_ids'].shape == (48,)
+    assert item['key_scores'].shape == (24,)
+    assert (item['labels'][item['input_ids'] == tok.pad_token_id] == -100).all()
+    # decoded ids reconstruct a valid token string over the base vocab
+    n_real = int((item['input_ids'] != tok.pad_token_id).sum())
+    dec = tok.decode(item['input_ids'][:n_real])
+    base = MusicVocabulary(pitch_kind='midi')
+    assert all(t in base for t in dec.split())
+    batch = next(ds.batches(2, shuffle=False))
+    assert batch['input_ids'].shape == (2, 48)
+
+
+def test_string_dataset_with_pairmerge_degree_keyaug():
+    from musicnlp_tpu.preprocess.dataset import StringAugmentedDataset
+    # step-kind corpus for key augmentation
+    step_songs = [
+        ('TimeSig_4/4 Tempo_120 <bar> <melody> p_1/4_C d_1 p_5/4_E d_1 '
+         'p_8/4_G d_2 <bass> p_1/3_C d_4 </s>'),
+        ('TimeSig_3/4 Tempo_90 <bar> <melody> p_3/4_D d_1 p_8/4_G d_2 '
+         '<bass> p_8/2_G d_3 </s>'),
+    ]
+    tr = PairMergeTokenizerTrainer(pitch_kind='degree', mode='full')
+    # train over key-augmented copies (reference wordpiece flow)
+    from musicnlp_tpu.preprocess import transform as tsf
+    ak = tsf.AugmentKey()
+    aug = [ak((s, k)) for s in step_songs for k in ('CMajor', 'GMajor')]
+    tok = tr(aug, coverage_ratio=0.9)
+    tok.model_max_length = 40
+    ds = StringAugmentedDataset(
+        [dict(score=s, keys={'CMajor': 0.7, 'GMajor': 0.3}) for s in step_songs],
+        tok, random_crop=False, insert_key=True, pitch_shift=True)
+    item = ds[0]
+    assert item['input_ids'].shape == (40,)
+    dec = tok.decode(item['input_ids'])
+    assert 'Key_' in dec  # key token inserted at position 2
