@@ -218,9 +218,64 @@ def measure_decode_baseline(size: str, gen_len: int) -> float:
     return n / dt
 
 
+def measure_extraction(n_song: int = 64) -> dict:
+    """Native C++ vs Python extraction throughput on synthetic MIDI files
+    (the reference's music21 path is its stated bottleneck and isn't
+    installable here; the Python path is the conservative baseline)."""
+    import tempfile
+    from fractions import Fraction
+
+    from musicnlp_tpu.io import Measure, Note, Part, Score, read_midi, write_midi
+    from musicnlp_tpu.preprocess.fast_extractor import FastMidiExtractor
+    from musicnlp_tpu.preprocess.music_extractor import MusicExtractor
+
+    tmp = tempfile.mkdtemp()
+    import numpy as np
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(n_song):
+        measures = []
+        for b in range(48):
+            m = Measure(number=b, time_sig=(4, 4) if b == 0 else None,
+                        tempo=120 if b == 0 else None, offset=Fraction(4 * b))
+            notes = [Note(40 + int(rng.integers(12)), 4, 0)]
+            off = 0
+            while off < 4:
+                d = min(int(rng.integers(1, 3)), 4 - off)
+                notes.append(Note(60 + int(rng.integers(24)), d, off))
+                off += d
+            m.append(notes)
+            measures.append(m)
+        p = os.path.join(tmp, f's{i}.mid')
+        write_midi(Score(title=f's{i}', parts=[Part(name='P', measures=measures)]), p)
+        paths.append(p)
+
+    fx = FastMidiExtractor(mode='full')
+    t0 = time.perf_counter()
+    n_tok = sum(len(fx(p, exp='str')) for p in paths)
+    t_native = time.perf_counter() - t0
+    me = MusicExtractor(mode='full', warn_logger=True)
+    t0 = time.perf_counter()
+    for p in paths[:8]:
+        me(read_midi(p), exp='str_join')
+    t_py = (time.perf_counter() - t0) * (n_song / 8)
+    return dict(native_songs_per_sec=n_song / t_native,
+                native_tokens_per_sec=n_tok / t_native,
+                python_songs_per_sec=n_song / t_py)
+
+
 def main():
     size = os.environ.get('BENCH_SIZE', 'base')
     mode = os.environ.get('BENCH_MODE', 'train')
+    if mode == 'extract':
+        r = measure_extraction()
+        print(json.dumps(dict(
+            metric='extraction_songs_per_sec',
+            value=round(r['native_songs_per_sec'], 1), unit='songs/sec',
+            vs_baseline=round(r['native_songs_per_sec']
+                              / r['python_songs_per_sec'], 2),
+            native_tokens_per_sec=round(r['native_tokens_per_sec'], 0))))
+        return
     if mode == 'decode':
         gen_len = int(os.environ.get('BENCH_SEQ', 1024))
         bsz = int(os.environ.get('BENCH_BSZ', 64))
