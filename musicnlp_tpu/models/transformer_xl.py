@@ -59,6 +59,10 @@ class TransfoXLConfig:
     use_flash: bool = True
     flash_block_q: int = 512
     flash_block_k: int = 1024
+    # rematerialize attention in the backward pass: drops the U-factor
+    # residuals (~D/H x the usual activation size) at the cost of one extra
+    # forward kernel per layer -- enables large-batch training
+    remat_attn: bool = False
 
     presets = {
         'debug': dict(d_model=128, n_head=8, n_layer=4),
@@ -177,13 +181,20 @@ class TransfoXL:
             S = (mems.shape[2] if mems is not None else 0) + Q
             if self._flash_ok(Q, S, attn_mask):
                 from musicnlp_tpu.ops.pallas.flash_attention import fused_rel_attn
-                h = fused_rel_attn(
-                    layer['attn'], h, layer_mems, mem_valid,
+                import functools
+                attn_fn = functools.partial(
+                    fused_rel_attn,
                     clamp_len=cfg.clamp_len, pre_lnorm=cfg.pre_lnorm,
-                    dropout_rate=cfg.dropout, rng=r_a,
-                    deterministic=deterministic,
+                    dropout_rate=cfg.dropout, deterministic=deterministic,
                     bq=self._pick_block(Q, cfg.flash_block_q),
                     bk=self._pick_block(S, cfg.flash_block_k))
+                if cfg.remat_attn:
+                    run = jax.checkpoint(
+                        lambda p_, h_, m_, v_, r_: attn_fn(p_, h_, m_, v_, rng=r_),
+                        static_argnums=())
+                    h = run(layer['attn'], h, layer_mems, mem_valid, r_a)
+                else:
+                    h = attn_fn(layer['attn'], h, layer_mems, mem_valid, rng=r_a)
             else:
                 h = rel_attn(
                     layer['attn'], h, layer_mems, mem_valid,

@@ -2,7 +2,7 @@
 
 Why: the jnp path materializes f32 [B, N, Q, K] score tensors in HBM (AC, BD,
 masked scores, probs) and pays a full-tensor relayout for the rel-shift --
-measured ~29 ms/layer forward at base/1024 on v5e vs ~1 ms of matmul FLOPs.
+measured ~23 ms/layer forward at base/1024 on v5e vs ~1 ms of matmul FLOPs.
 This kernel computes attention blockwise with an online softmax (flash
 attention) and never materializes a score tensor.
 
@@ -14,14 +14,22 @@ it is decomposed via the sine angle-addition identity into PLAIN MATMULS:
       U[q]  = [gs sin_q + gc cos_q ; -gs cos_q + gc sin_q]   content  [T, D]
       Vk[k] = [cos(k w) ; sin(k w)]                          position [S, D]
       gs/gc = rr @ W_r(sin/cos halves);  sin_q/cos_q = sin/cos((M+q) w)
-exact for d <= clamp_len; clamped distances collapse to a per-query constant
-far[q] = rr_q . R(clamp_len), selected by an iota comparison in-kernel.  The
-extra MXU FLOPs (contraction D instead of H) are far cheaper than the HBM
-relayout they replace.
+exact for d <= clamp_len.  Clamped distances collapse to the same expression
+evaluated at d = L: BD(q, k_far) = U[q] . Vk[(M+q) - L], so the kernel takes a
+second position-only table VkL[q] = Vk[(M+q)-L] and computes the clamped bias
+as an in-register row-wise dot -- no per-query f32 HBM vectors (a [BN, T, 1]
+array tiles to (8,128) on TPU: a 128x padding explosion, measured OOM).
+
+For the same reason the softmax statistics ride inside the lane padding of
+the main tensors: the forward output is packed [BN, T, PAD] with the context
+in columns [0, H) and the LSE in column H (H=64 pads to 128 lanes anyway);
+the backward kernels receive dO packed the same way with LSE and delta in
+columns H and H+1.
 
 Backward = two more Pallas kernels (dq/dU-side, dk/dv-side) behind a custom
 VJP.  The U/gs/gc construction stays ordinary jnp, so JAX autodiff composes
-the W_r / bias gradients automatically around the core.
+the W_r / bias gradients automatically (the clamped-bias grad flows through
+dU exactly, since the clamped bias is linear in U).
 """
 from __future__ import annotations
 
@@ -39,7 +47,12 @@ __all__ = ['flash_rel_attn', 'fused_rel_attn', 'fused_rel_attn_available']
 
 NEG_INF = -1e30
 DEFAULT_BQ = 512
-DEFAULT_BK = 512
+DEFAULT_BK = 1024
+
+
+def _pad_to(h: int) -> int:
+    """Lane padding that fits H context columns + LSE + delta."""
+    return 128 * ((h + 2 + 127) // 128)
 
 
 def fused_rel_attn_available(T: int, S: int, *, bq: int = DEFAULT_BQ,
@@ -49,11 +62,8 @@ def fused_rel_attn_available(T: int, S: int, *, bq: int = DEFAULT_BQ,
 
 # ------------------------------------------------------------------ kernels
 def _interior(q0, k0, M, clamp_len, mem_valid, bq, bk):
-    """Is block pair (q0, k0) free of any masking / clamping?
-
-    Interior blocks skip the per-element iota/compare/where chains entirely --
-    those VPU ops, not the matmuls, dominate kernel time (only diagonal and
-    clamp-band blocks pay them)."""
+    """Is block pair (q0, k0) free of any masking / clamping?  Interior blocks
+    skip the per-element iota/compare/where chains entirely."""
     d_min = M + q0 - (k0 + bk - 1)
     d_max = M + q0 + bq - 1 - k0
     return (d_min >= 0) & (d_max <= clamp_len) & (k0 >= M - mem_valid)
@@ -61,7 +71,7 @@ def _interior(q0, k0, M, clamp_len, mem_valid, bq, bk):
 
 def _score_block(rw, u, kb, vkb, far_col, q0, k0, M, scale, clamp_len,
                  mem_valid, bq, bk, masked):
-    """Shared score computation: returns (scaled scores [bq, bk] f32, d)."""
+    """Masked, scaled scores [bq, bk] f32 (+ d when masked)."""
     s = jax.lax.dot_general(rw, kb, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     bd = jax.lax.dot_general(u, vkb, (((1,), (1,)), ((), ())),
@@ -77,9 +87,15 @@ def _score_block(rw, u, kb, vkb, far_col, q0, k0, M, scale, clamp_len,
     return jnp.where(valid, s, NEG_INF), d
 
 
-def _make_fwd(M, scale, clamp_len, bq, bk, n_kb, out_dtype):
-    def kernel(mv_ref, rw_ref, u_ref, k_ref, v_ref, vk_ref, far_ref,
-               o_ref, lse_ref, acc, m_i, l_i):
+def _far_col(u, vkl):
+    """Clamped-distance bias per query: rowwise dot U[q] . VkL[q] -> [bq, 1]."""
+    return jnp.sum(u.astype(jnp.float32) * vkl.astype(jnp.float32),
+                   axis=1, keepdims=True)
+
+
+def _make_fwd(M, scale, clamp_len, bq, bk, n_kb, H, out_dtype):
+    def kernel(mv_ref, rw_ref, u_ref, k_ref, v_ref, vk_ref, vkl_ref,
+               o_ref, acc, m_i, l_i):
         ki, qi = pl.program_id(2), pl.program_id(1)
         q0, k0 = qi * bq, ki * bk
 
@@ -90,10 +106,10 @@ def _make_fwd(M, scale, clamp_len, bq, bk, n_kb, out_dtype):
             l_i[:] = jnp.zeros_like(l_i)
 
         def _update(masked):
+            far = _far_col(u_ref[0], vkl_ref[:]) if masked else None
             s, _ = _score_block(
-                rw_ref[0], u_ref[0], k_ref[0], vk_ref[:],
-                far_ref[0], q0, k0, M, scale, clamp_len,
-                mv_ref[0], bq, bk, masked)
+                rw_ref[0], u_ref[0], k_ref[0], vk_ref[:], far,
+                q0, k0, M, scale, clamp_len, mv_ref[0], bq, bk, masked)
             m_prev = m_i[:]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
             p = jnp.exp(s - m_new)
@@ -119,16 +135,22 @@ def _make_fwd(M, scale, clamp_len, bq, bk, n_kb, out_dtype):
         @pl.when(ki == n_kb - 1)
         def _():
             l = jnp.maximum(l_i[:], 1e-30)
-            o_ref[0] = (acc[:] / l).astype(out_dtype)
-            lse_ref[0] = m_i[:] + jnp.log(l)
+            P = o_ref.shape[-1]
+            ctx = acc[:] / l                                   # [bq, H] f32
+            lse = m_i[:] + jnp.log(l)                          # [bq, 1]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (bq, P), 1)
+            packed = jnp.where(cols < H,
+                               jnp.pad(ctx, ((0, 0), (0, P - H))),
+                               jnp.where(cols == H,
+                                         jnp.broadcast_to(lse, (bq, P)), 0.0))
+            o_ref[0] = packed.astype(out_dtype)
     return kernel
 
 
-def _make_bwd_q(M, scale, clamp_len, bq, bk, n_kb, grad_dtype):
-    """Grid (BN, n_qb, n_kb): d_rw [bq,H], dU [bq,D], d_far [bq]."""
-    def kernel(mv_ref, rw_ref, u_ref, k_ref, v_ref, vk_ref, far_ref,
-               do_ref, lse_ref, delta_ref,
-               drw_ref, du_ref, dfar_ref, drw_acc, du_acc, dfar_acc):
+def _make_bwd_q(M, scale, clamp_len, bq, bk, n_kb, H, grad_dtype):
+    """Grid (BN, n_qb, n_kb): d_rw [bq,H], dU [bq,D]."""
+    def kernel(mv_ref, rw_ref, u_ref, k_ref, v_ref, vk_ref, vkl_ref,
+               dod_ref, drw_ref, du_ref, drw_acc, du_acc):
         ki, qi = pl.program_id(2), pl.program_id(1)
         q0, k0 = qi * bq, ki * bk
 
@@ -136,28 +158,38 @@ def _make_bwd_q(M, scale, clamp_len, bq, bk, n_kb, grad_dtype):
         def _():
             drw_acc[:] = jnp.zeros_like(drw_acc)
             du_acc[:] = jnp.zeros_like(du_acc)
-            dfar_acc[:] = jnp.zeros_like(dfar_acc)
 
         def _update(masked):
+            far = _far_col(u_ref[0], vkl_ref[:]) if masked else None
             s, d = _score_block(
-                rw_ref[0], u_ref[0], k_ref[0], vk_ref[:],
-                far_ref[0], q0, k0, M, scale, clamp_len,
-                mv_ref[0], bq, bk, masked)
-            p = jnp.exp(s - lse_ref[0])
-            do = do_ref[0]
+                rw_ref[0], u_ref[0], k_ref[0], vk_ref[:], far,
+                q0, k0, M, scale, clamp_len, mv_ref[0], bq, bk, masked)
+            dod = dod_ref[0].astype(jnp.float32)               # [bq, P]
+            lse = dod[:, H:H + 1]
+            delta = dod[:, H + 1:H + 2]
+            do = dod[:, :H].astype(grad_dtype)
+            p = jnp.exp(s - lse)
             dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            ds = p * (dp - delta_ref[0]) * scale   # [bq, bk] f32
+            ds = p * (dp - delta) * scale                      # [bq, bk] f32
             drw_acc[:] += jax.lax.dot_general(
                 ds.astype(grad_dtype), k_ref[0], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            ds_near = ds if not masked else jnp.where(d > clamp_len, 0.0, ds)
-            du_acc[:] += jax.lax.dot_general(
-                ds_near.astype(grad_dtype), vk_ref[:],
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
             if masked:
-                dfar_acc[:] += jnp.sum(jnp.where(d > clamp_len, ds, 0.0),
-                                       axis=1, keepdims=True)
+                is_far = d > clamp_len
+                ds_near = jnp.where(is_far, 0.0, ds)
+                du_acc[:] += jax.lax.dot_general(
+                    ds_near.astype(grad_dtype), vk_ref[:],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                # clamped-bias grad flows through U: dU += dfar * VkL
+                dfar = jnp.sum(jnp.where(is_far, ds, 0.0), axis=1,
+                               keepdims=True)
+                du_acc[:] += dfar * vkl_ref[:].astype(jnp.float32)
+            else:
+                du_acc[:] += jax.lax.dot_general(
+                    ds.astype(grad_dtype), vk_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
         visited = k0 <= M + q0 + bq - 1
         interior = _interior(q0, k0, M, clamp_len, mv_ref[0], bq, bk)
@@ -174,14 +206,13 @@ def _make_bwd_q(M, scale, clamp_len, bq, bk, n_kb, grad_dtype):
         def _():
             drw_ref[0] = drw_acc[:].astype(drw_ref.dtype)
             du_ref[0] = du_acc[:].astype(du_ref.dtype)
-            dfar_ref[0] = dfar_acc[:]
     return kernel
 
 
-def _make_bwd_kv(M, scale, clamp_len, bq, bk, n_qb, grad_dtype):
+def _make_bwd_kv(M, scale, clamp_len, bq, bk, n_qb, H, grad_dtype):
     """Grid (BN, n_kb, n_qb): dk [bk,H], dv [bk,H]."""
-    def kernel(mv_ref, rw_ref, u_ref, k_ref, v_ref, vk_ref, far_ref,
-               do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc):
+    def kernel(mv_ref, rw_ref, u_ref, k_ref, v_ref, vk_ref, vkl_ref,
+               dod_ref, dk_ref, dv_ref, dk_acc, dv_acc):
         qi, ki = pl.program_id(2), pl.program_id(1)
         q0, k0 = qi * bq, ki * bk
 
@@ -191,18 +222,21 @@ def _make_bwd_kv(M, scale, clamp_len, bq, bk, n_qb, grad_dtype):
             dv_acc[:] = jnp.zeros_like(dv_acc)
 
         def _update(masked):
+            far = _far_col(u_ref[0], vkl_ref[:]) if masked else None
             s, _ = _score_block(
-                rw_ref[0], u_ref[0], k_ref[0], vk_ref[:],
-                far_ref[0], q0, k0, M, scale, clamp_len,
-                mv_ref[0], bq, bk, masked)
-            p = jnp.exp(s - lse_ref[0])
-            do = do_ref[0]
+                rw_ref[0], u_ref[0], k_ref[0], vk_ref[:], far,
+                q0, k0, M, scale, clamp_len, mv_ref[0], bq, bk, masked)
+            dod = dod_ref[0].astype(jnp.float32)
+            lse = dod[:, H:H + 1]
+            delta = dod[:, H + 1:H + 2]
+            do = dod[:, :H].astype(grad_dtype)
+            p = jnp.exp(s - lse)
             dv_acc[:] += jax.lax.dot_general(
                 p.astype(grad_dtype), do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            ds = (p * (dp - delta_ref[0]) * scale).astype(grad_dtype)
+            ds = (p * (dp - delta) * scale).astype(grad_dtype)
             dk_acc[:] += jax.lax.dot_general(
                 ds, rw_ref[0], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -226,111 +260,110 @@ def _make_bwd_kv(M, scale, clamp_len, bq, bk, n_qb, grad_dtype):
 
 
 # ------------------------------------------------------------- pallas calls
-def _q_specs(bq, bk, H, D):
+def _in_specs(bq, bk, H, D):
     return [
         pl.BlockSpec((1, bq, H), lambda b, i, j, mv: (b, i, 0)),    # rw
         pl.BlockSpec((1, bq, D), lambda b, i, j, mv: (b, i, 0)),    # u
         pl.BlockSpec((1, bk, H), lambda b, i, j, mv: (b, j, 0)),    # k
         pl.BlockSpec((1, bk, H), lambda b, i, j, mv: (b, j, 0)),    # v
         pl.BlockSpec((bk, D), lambda b, i, j, mv: (j, 0)),          # vk
-        pl.BlockSpec((1, bq, 1), lambda b, i, j, mv: (b, i, 0)),    # far
+        pl.BlockSpec((bq, D), lambda b, i, j, mv: (i, 0)),          # vkl
     ]
 
 
-def _fwd_call(rw3, u3, k3, v3, vk, far3, mem_valid, *, M, scale, clamp_len,
+def _fwd_call(rw3, u3, k3, v3, vk, vkl, mem_valid, *, M, scale, clamp_len,
               bq, bk, interpret=False):
     BN, T, H = rw3.shape
     D = u3.shape[-1]
     S = k3.shape[1]
     n_qb, n_kb = T // bq, S // bk
+    P = _pad_to(H)
     mv = jnp.asarray(mem_valid, jnp.float32).astype(jnp.int32).reshape(1)
-    kernel = _make_fwd(M, scale, clamp_len, bq, bk, n_kb, rw3.dtype)
+    kernel = _make_fwd(M, scale, clamp_len, bq, bk, n_kb, H, rw3.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BN, n_qb, n_kb),
-        in_specs=_q_specs(bq, bk, H, D),
-        out_specs=[
-            pl.BlockSpec((1, bq, H), lambda b, i, j, mv: (b, i, 0)),
-            pl.BlockSpec((1, bq, 1), lambda b, i, j, mv: (b, i, 0)),
-        ],
+        in_specs=_in_specs(bq, bk, H, D),
+        out_specs=pl.BlockSpec((1, bq, P), lambda b, i, j, mv: (b, i, 0)),
         scratch_shapes=[
             pltpu.VMEM((bq, H), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
         ],
     )
-    return pl.pallas_call(
+    packed = pl.pallas_call(
         kernel, grid_spec=grid_spec, interpret=interpret,
-        out_shape=[
-            jax.ShapeDtypeStruct((BN, T, H), rw3.dtype),
-            jax.ShapeDtypeStruct((BN, T, 1), jnp.float32),
-        ],
-    )(mv, rw3, u3, k3, v3, vk, far3)
+        out_shape=jax.ShapeDtypeStruct((BN, T, P), rw3.dtype),
+    )(mv, rw3, u3, k3, v3, vk, vkl)
+    return packed
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
-def flash_rel_attn(rw3, u3, k3, v3, vk, far3, mem_valid,
+def flash_rel_attn(rw3, u3, k3, v3, vk, vkl, mem_valid,
                    M, scale, clamp_len, bq, bk, interpret):
     """Fused TF-XL attention core.
 
     rw3: [BN, T, H] queries + r_w_bias.        u3: [BN, T, D] factor U.
     k3/v3: [BN, S, H] (S = M + T with memory). vk: [S, D] position factor.
-    far3: [BN, T] f32 = rr_q . R(clamp_len).   mem_valid: f32 scalar.
-    Returns [BN, T, H].
+    vkl: [T, D] position factor at the clamp distance (Vk[(M+q)-clamp_len]).
+    mem_valid: f32 scalar.  Returns ctx [BN, T, H].
     """
-    out, _ = _fwd_call(rw3, u3, k3, v3, vk, far3, mem_valid, M=M, scale=scale,
+    packed = _fwd_call(rw3, u3, k3, v3, vk, vkl, mem_valid, M=M, scale=scale,
                        clamp_len=clamp_len, bq=bq, bk=bk, interpret=interpret)
-    return out
+    return packed[..., :rw3.shape[-1]]
 
 
-def _flash_fwd(rw3, u3, k3, v3, vk, far3, mem_valid,
+def _flash_fwd(rw3, u3, k3, v3, vk, vkl, mem_valid,
                M, scale, clamp_len, bq, bk, interpret):
-    out, lse = _fwd_call(rw3, u3, k3, v3, vk, far3, mem_valid, M=M,
-                         scale=scale, clamp_len=clamp_len, bq=bq, bk=bk,
-                         interpret=interpret)
-    return out, (rw3, u3, k3, v3, vk, far3, mem_valid, out, lse)
+    packed = _fwd_call(rw3, u3, k3, v3, vk, vkl, mem_valid, M=M, scale=scale,
+                       clamp_len=clamp_len, bq=bq, bk=bk, interpret=interpret)
+    H = rw3.shape[-1]
+    out = packed[..., :H]
+    return out, (rw3, u3, k3, v3, vk, vkl, mem_valid, packed)
 
 
 def _flash_bwd(M, scale, clamp_len, bq, bk, interpret, res, g):
-    rw3, u3, k3, v3, vk, far3, mem_valid, out, lse = res
+    rw3, u3, k3, v3, vk, vkl, mem_valid, packed = res
     BN, T, H = rw3.shape
     D = u3.shape[-1]
     S = k3.shape[1]
     n_qb, n_kb = T // bq, S // bk
+    P = _pad_to(H)
     g = g.astype(rw3.dtype)
+    out = packed[..., :H]
+    lse = packed[..., H:H + 1].astype(jnp.float32)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1, keepdims=True)
+    # pack dO | lse | delta into the lane padding (no [BN,T,1] HBM tensors --
+    # those tile to (8,128) with a 128x padding explosion)
+    dod = jnp.concatenate([
+        g.astype(jnp.float32), lse, delta,
+        jnp.zeros((BN, T, P - H - 2), jnp.float32)], axis=-1).astype(rw3.dtype)
     mv = jnp.asarray(mem_valid, jnp.float32).astype(jnp.int32).reshape(1)
 
-    extra = [
-        pl.BlockSpec((1, bq, H), lambda b, i, j, mv: (b, i, 0)),    # dO
-        pl.BlockSpec((1, bq, 1), lambda b, i, j, mv: (b, i, 0)),    # lse
-        pl.BlockSpec((1, bq, 1), lambda b, i, j, mv: (b, i, 0)),    # delta
-    ]
-    kq = _make_bwd_q(M, scale, clamp_len, bq, bk, n_kb, rw3.dtype)
-    drw, du, dfar = pl.pallas_call(
+    kq = _make_bwd_q(M, scale, clamp_len, bq, bk, n_kb, H, rw3.dtype)
+    drw, du = pl.pallas_call(
         kq,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(BN, n_qb, n_kb),
-            in_specs=_q_specs(bq, bk, H, D) + extra,
+            in_specs=_in_specs(bq, bk, H, D) + [
+                pl.BlockSpec((1, bq, P), lambda b, i, j, mv: (b, i, 0)),
+            ],
             out_specs=[
                 pl.BlockSpec((1, bq, H), lambda b, i, j, mv: (b, i, 0)),
                 pl.BlockSpec((1, bq, D), lambda b, i, j, mv: (b, i, 0)),
-                pl.BlockSpec((1, bq, 1), lambda b, i, j, mv: (b, i, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((bq, H), jnp.float32),
                 pltpu.VMEM((bq, D), jnp.float32),
-                pltpu.VMEM((bq, 1), jnp.float32),
             ],
         ),
         interpret=interpret,
         out_shape=[
             jax.ShapeDtypeStruct((BN, T, H), rw3.dtype),
             jax.ShapeDtypeStruct((BN, T, D), rw3.dtype),
-            jax.ShapeDtypeStruct((BN, T, 1), jnp.float32),
         ],
-    )(mv, rw3, u3, k3, v3, vk, far3, g, lse, delta)
+    )(mv, rw3, u3, k3, v3, vk, vkl, dod)
 
     kv_specs = [
         pl.BlockSpec((1, bq, H), lambda b, j, i, mv: (b, i, 0)),    # rw
@@ -338,12 +371,10 @@ def _flash_bwd(M, scale, clamp_len, bq, bk, interpret, res, g):
         pl.BlockSpec((1, bk, H), lambda b, j, i, mv: (b, j, 0)),    # k
         pl.BlockSpec((1, bk, H), lambda b, j, i, mv: (b, j, 0)),    # v
         pl.BlockSpec((bk, D), lambda b, j, i, mv: (j, 0)),          # vk
-        pl.BlockSpec((1, bq, 1), lambda b, j, i, mv: (b, i, 0)),    # far
-        pl.BlockSpec((1, bq, H), lambda b, j, i, mv: (b, i, 0)),    # dO
-        pl.BlockSpec((1, bq, 1), lambda b, j, i, mv: (b, i, 0)),    # lse
-        pl.BlockSpec((1, bq, 1), lambda b, j, i, mv: (b, i, 0)),    # delta
+        pl.BlockSpec((bq, D), lambda b, j, i, mv: (i, 0)),          # vkl
+        pl.BlockSpec((1, bq, P), lambda b, j, i, mv: (b, i, 0)),    # dod
     ]
-    kkv = _make_bwd_kv(M, scale, clamp_len, bq, bk, n_qb, rw3.dtype)
+    kkv = _make_bwd_kv(M, scale, clamp_len, bq, bk, n_qb, H, rw3.dtype)
     dk, dv = pl.pallas_call(
         kkv,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -363,9 +394,9 @@ def _flash_bwd(M, scale, clamp_len, bq, bk, interpret, res, g):
             jax.ShapeDtypeStruct((BN, S, H), rw3.dtype),
             jax.ShapeDtypeStruct((BN, S, H), rw3.dtype),
         ],
-    )(mv, rw3, u3, k3, v3, vk, far3, g, lse, delta)
+    )(mv, rw3, u3, k3, v3, vk, vkl, dod)
 
-    return (drw, du, dk, dv, jnp.zeros_like(vk), dfar,
+    return (drw, du, dk, dv, jnp.zeros_like(vk), jnp.zeros_like(vkl),
             jnp.zeros((), jnp.float32))
 
 
@@ -428,19 +459,16 @@ def fused_rel_attn(
                          -gs * cos_q + gc * sin_q], axis=-1)  # [B,N,T,D] f32
     sin_k, cos_k = _sin_cos(jnp.arange(S), d_model)
     vk = jnp.concatenate([cos_k, sin_k], axis=-1).astype(dtype)   # [S, D]
-    sL, cL = _sin_cos(jnp.full((1,), float(clamp_len)), d_model)
-    r_far = (jnp.einsum('of,fnh->onh', sL, Wr[:F].astype(jnp.float32))
-             + jnp.einsum('of,fnh->onh', cL, Wr[F:].astype(jnp.float32)))[0]
-    far = jnp.einsum('btnh,nh->bnt', rr.astype(jnp.float32), r_far)  # [B,N,T]
+    sin_l, cos_l = _sin_cos(jnp.arange(M, M + T) - clamp_len, d_model)
+    vkl = jnp.concatenate([cos_l, sin_l], axis=-1).astype(dtype)  # [T, D]
 
     BN = B * n_head
     rw3 = rw.transpose(0, 2, 1, 3).reshape(BN, T, d_head)
     k3 = k.transpose(0, 2, 1, 3).reshape(BN, S, d_head)
     v3 = v.transpose(0, 2, 1, 3).reshape(BN, S, d_head)
     u3 = u.astype(dtype).reshape(BN, T, d_model)
-    far3 = far.reshape(BN, T, 1)
 
-    ctx3 = flash_rel_attn(rw3, u3, k3, v3, vk, far3,
+    ctx3 = flash_rel_attn(rw3, u3, k3, v3, vk, vkl,
                           jnp.asarray(mem_valid, jnp.float32),
                           M, scale, int(clamp_len), bq, bk, interpret)
     ctx = ctx3.reshape(B, n_head, T, d_head).transpose(0, 2, 1, 3)
