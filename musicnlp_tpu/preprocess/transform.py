@@ -29,6 +29,7 @@ __all__ = [
     'KeyInsert', 'TokenPitchShift', 'PitchShift', 'AugmentKey', 'CombineKeys',
     'ToMidiPitch', 'ChannelMixer',
     'build_step2degree_table', 'build_step2midi_table', 'build_vocab_id_map',
+    'build_tempo_group_table',
 ]
 
 Song = Union[str, List[str]]
@@ -365,4 +366,26 @@ def build_step2midi_table(vocab_step: MusicVocabulary = None,
         if out[i] == -1:
             assert vs.type(tok) == VocabType.pitch
             out[i] = vm.tok2id[vs.pitch_tok2midi_pitch_tok(tok)]
+    return out
+
+
+def build_tempo_group_table(vocab_plain: MusicVocabulary,
+                            vocab_binned: MusicVocabulary) -> np.ndarray:
+    """int32[V_plain]: plain-vocab id -> binned-tempo-vocab id (TempoGroup as
+    a gather; reference transform.py:117-135).  Requires matching pitch kinds
+    and a `tempo_bin` on the destination vocabulary."""
+    assert vocab_binned.tempo_bin, 'destination vocabulary must bin tempos'
+    assert vocab_plain.pitch_kind == vocab_binned.pitch_kind
+    out = np.full(len(vocab_plain), -1, dtype=np.int32)
+    for tok, i in vocab_plain.tok2id.items():
+        if vocab_plain.type(tok) == VocabType.tempo \
+                and tok not in vocab_plain.rare_tok2meta:
+            meta = vocab_plain.tok2meta(tok)
+            binned = vocab_binned.tempo_meta_map[meta]
+            out[i] = vocab_binned.tok2id[
+                vocab_binned.meta2tok(VocabType.tempo, binned)]
+        else:
+            j = vocab_binned.tok2id.get(tok)
+            out[i] = j if j is not None else -1
+    assert (out >= 0).all()
     return out

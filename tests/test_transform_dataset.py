@@ -170,3 +170,16 @@ def test_proportion_mixing():
     _ = [mix[i] for i in range(len(mix))]
     mix.resample()
     _ = mix[7]
+
+
+def test_tempo_group_table_matches_string():
+    from musicnlp_tpu.preprocess.transform import TempoGroup, build_tempo_group_table
+    vp = MusicVocabulary(pitch_kind='midi')
+    vb = MusicVocabulary(pitch_kind='midi', tempo_bin=5)
+    table = build_tempo_group_table(vp, vb)
+    song = 'TimeSig_4/4 Tempo_123 <bar> p_1/4 d_4 </s>'
+    want = TempoGroup(vocab_none=vp, vocab_group=vb)(song).split()
+    ids = np.array([vp.tok2id[t] for t in song.split()])
+    got = [vb.i2t(i) for i in table[ids]]
+    assert got == want
+    assert 'Tempo_120/124' in got
