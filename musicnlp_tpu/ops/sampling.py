@@ -110,11 +110,14 @@ def generate_scan(
     buf = jax.lax.dynamic_update_slice(buf, prompt_ids, (0, 0))
     counts0 = jnp.zeros((B, vocab_size), jnp.int32)
 
+    track_counts = sample_cfg.repetition_penalty != 1.0
+
     def body(carry, t):
         state, buf, finished, counts, rng = carry
         cur = buf[:, t]                                   # token fed at step t
-        counts = counts.at[jnp.arange(B), cur].add(
-            jnp.where(finished, 0, 1))
+        if track_counts:                                  # scatter isn't free
+            counts = counts.at[jnp.arange(B), cur].add(
+                jnp.where(finished, 0, 1))
         logits, state = decode_step(cur, state)
 
         rng, r = jax.random.split(rng)

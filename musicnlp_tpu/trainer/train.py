@@ -270,18 +270,20 @@ class Trainer:
         args = self.args
         bsz = args.eval_batch_size or args.batch_size
         tot: Dict[str, float] = {}
-        n = 0
+        n = 0.0
         for batch in self.eval_dataset.batches(bsz, shuffle=False, drop_last=False):
-            if len(batch['input_ids']) < bsz:   # pad final partial batch
-                pad = bsz - len(batch['input_ids'])
+            n_real = len(batch['input_ids'])
+            if n_real < bsz:   # pad the final partial batch to the fixed shape
+                pad = bsz - n_real
                 batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
                          for k, v in batch.items()}
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             mets = self.eval_step(params, batch)
+            w = n_real / bsz   # weight out the duplicated padding rows
             for k in ('loss', 'ntp_acc', 'ikr'):
-                tot[k] = tot.get(k, 0.0) + float(mets[k])
-            n += 1
-        return {k: v / max(n, 1) for k, v in tot.items()}
+                tot[k] = tot.get(k, 0.0) + w * float(mets[k])
+            n += w
+        return {k: v / max(n, 1e-9) for k, v in tot.items()}
 
 
 def asdict_config(cfg: TransfoXLConfig) -> Dict:

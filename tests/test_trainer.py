@@ -215,3 +215,33 @@ def test_batches_host_sharding(setup):
     got = np.concatenate([p['input_ids'] for p in parts])
     np.testing.assert_array_equal(got, full['input_ids'])
     assert parts[0]['input_ids'].shape[0] == 2
+
+
+def test_wordpiece_training_end_to_end(tmp_path):
+    """TF-XL trains over a learned WordPiece vocab via the string pipeline."""
+    from musicnlp_tpu.preprocess.dataset import StringAugmentedDataset
+    from musicnlp_tpu.trainer.wordpiece_tokenizer import WordPieceMusicTrainer
+
+    raw = _songs(12, seed=9)
+    # corpus is step-kind; train a midi-kind wordpiece over midi-converted text
+    from musicnlp_tpu.preprocess import transform as tsf
+    to_midi = tsf.ToMidiPitch()
+    midi_songs = [dict(score=to_midi(tsf.SanitizeRare()(s['score'])),
+                       keys=s['keys']) for s in raw]
+    base_v = MusicVocabulary(pitch_kind='midi')
+    tok = WordPieceMusicTrainer(pitch_kind='midi')(
+        [s['score'] for s in midi_songs], vocab_size=2 * len(base_v) + 32)
+    tok.model_max_length = 64
+    ds = StringAugmentedDataset(midi_songs, tok, random_crop=True)
+    cfg = TransfoXLConfig(
+        vocab_size=tok.vocab_size, model_size='test', d_model=32, n_head=2,
+        d_head=16, d_inner=64, n_layer=2, mem_len=16, clamp_len=32,
+        max_length=64, dropout=0.0, dtype='float32')
+    model = TransfoXL(cfg)
+    args = TrainArgs(batch_size=8, learning_rate=3e-3, weight_decay=0.0,
+                     lr_scheduler_type='constant', num_train_epochs=6)
+    tr = Trainer(model, tok, ds, ds, args=args, out_dir=str(tmp_path))
+    res = tr.train()
+    log = [json.loads(l) for l in open(tr.log_path) if 'loss' in l]
+    steps = [r for r in log if 'loss' in r and 'eval_loss' not in r]
+    assert steps[-1]['loss'] < steps[0]['loss']
