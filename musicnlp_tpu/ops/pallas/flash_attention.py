@@ -448,15 +448,18 @@ def fused_rel_attn(
     rw = q + p['r_w_bias'].astype(dtype)
     rr = q + p['r_r_bias'].astype(dtype)
 
-    # BD factors (see module docstring)
+    # BD factors (see module docstring); the whole chain stays in the compute
+    # dtype -- f32 intermediates here are [B,N,T,F] tensors whose HBM traffic
+    # would rival the attention kernel itself
     Wr = p['r'].astype(dtype)                               # [D, N, H]
     gs = jnp.einsum('btnh,fnh->bntf', rr, Wr[:F],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32).astype(dtype)
     gc = jnp.einsum('btnh,fnh->bntf', rr, Wr[F:],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32).astype(dtype)
     sin_q, cos_q = _sin_cos(jnp.arange(M, M + T), d_model)  # [T, F]
+    sin_q, cos_q = sin_q.astype(dtype), cos_q.astype(dtype)
     u = jnp.concatenate([gs * sin_q + gc * cos_q,
-                         -gs * cos_q + gc * sin_q], axis=-1)  # [B,N,T,D] f32
+                         -gs * cos_q + gc * sin_q], axis=-1)  # [B,N,T,D]
     sin_k, cos_k = _sin_cos(jnp.arange(S), d_model)
     vk = jnp.concatenate([cos_k, sin_k], axis=-1).astype(dtype)   # [S, D]
     sin_l, cos_l = _sin_cos(jnp.arange(M, M + T) - clamp_len, d_model)
@@ -466,7 +469,7 @@ def fused_rel_attn(
     rw3 = rw.transpose(0, 2, 1, 3).reshape(BN, T, d_head)
     k3 = k.transpose(0, 2, 1, 3).reshape(BN, S, d_head)
     v3 = v.transpose(0, 2, 1, 3).reshape(BN, S, d_head)
-    u3 = u.astype(dtype).reshape(BN, T, d_model)
+    u3 = u.reshape(BN, T, d_model)
 
     ctx3 = flash_rel_attn(rw3, u3, k3, v3, vk, vkl,
                           jnp.asarray(mem_valid, jnp.float32),
