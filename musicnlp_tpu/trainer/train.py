@@ -207,14 +207,30 @@ class Trainer:
             f.write(json.dumps({k: (float(v) if hasattr(v, 'item') else v)
                                 for k, v in record.items()}) + '\n')
 
-    def train(self, params=None, opt_state=None) -> Dict[str, Any]:
+    def train(self, params=None, opt_state=None,
+              resume_from: Optional[str] = None) -> Dict[str, Any]:
+        """Run the epoch loop.  `resume_from` restores params + optimizer
+        state + epoch counter from an epoch checkpoint dir (crash-tolerant
+        resume; reference relies on HF Trainer's checkpoint-resume)."""
         args = self.args
+        start_epoch = 0
         if params is None:
             params, opt_state = self.init_state()
+        if resume_from is not None:
+            params = ckpt.restore_pytree(
+                os.path.join(resume_from, 'params'), jax.device_get(params))
+            params = mesh_lib.shard_pytree(
+                params, mesh_lib.param_specs(params), self.mesh)
+            opt_state = ckpt.restore_pytree(
+                os.path.join(resume_from, 'opt_state'),
+                jax.device_get(opt_state))
+            meta = ckpt.load_meta(os.path.join(resume_from, 'state.json'))
+            start_epoch = int(meta['epoch']) + 1
+            self._rng = jax.random.PRNGKey(args.seed + 104729 * start_epoch)
         best_loss, best_path = float('inf'), None
-        global_step = 0
+        global_step = start_epoch * self.steps_per_epoch
         history: List[Dict] = []
-        for epoch in range(args.num_train_epochs):
+        for epoch in range(start_epoch, args.num_train_epochs):
             if hasattr(self.train_dataset, 'resample'):
                 self.train_dataset.resample()  # proportional-mixing per-epoch
             t_ep = time.time()
@@ -246,17 +262,16 @@ class Trainer:
                 ev = self.evaluate(params)
                 ep_rec.update({f'eval_{k}': v for k, v in ev.items()})
                 if args.save_per_epoch:
-                    path = ckpt.save_pytree(
-                        os.path.join(self.out_dir, f'checkpoint-ep{epoch}'), params)
+                    path = self._save_checkpoint(epoch, params, opt_state)
                     if ev['loss'] < best_loss:
                         best_loss, best_path = ev['loss'], path
             elif args.save_per_epoch:
-                ckpt.save_pytree(
-                    os.path.join(self.out_dir, f'checkpoint-ep{epoch}'), params)
+                self._save_checkpoint(epoch, params, opt_state)
             self._log(ep_rec)
             history.append(ep_rec)
         if args.load_best_model_at_end and best_path is not None:
-            params = ckpt.restore_pytree(best_path, jax.device_get(params))
+            params = ckpt.restore_pytree(os.path.join(best_path, 'params'),
+                                         jax.device_get(params))
             params = mesh_lib.shard_pytree(
                 params, mesh_lib.param_specs(params), self.mesh)
         final = ckpt.save_pytree(os.path.join(self.out_dir, 'trained'), params)
@@ -265,6 +280,14 @@ class Trainer:
             best_eval_loss=best_loss, final_checkpoint=final))
         return dict(params=params, opt_state=opt_state, history=history,
                     best_eval_loss=best_loss)
+
+    def _save_checkpoint(self, epoch: int, params, opt_state) -> str:
+        """Epoch checkpoint dir with params + optimizer state + counters."""
+        d = os.path.join(self.out_dir, f'checkpoint-ep{epoch}')
+        ckpt.save_pytree(os.path.join(d, 'params'), params)
+        ckpt.save_pytree(os.path.join(d, 'opt_state'), opt_state)
+        ckpt.save_meta(os.path.join(d, 'state.json'), dict(epoch=epoch))
+        return d
 
     def evaluate(self, params) -> Dict[str, float]:
         args = self.args

