@@ -248,13 +248,91 @@ class TransfoXL:
         if n_seg <= 1:
             logits, _, _ = self.forward(params, input_ids, rng=rng,
                                         deterministic=deterministic)
-        else:
-            logits = self.forward_segments(params, input_ids, n_seg=n_seg,
-                                           rng=rng, deterministic=deterministic)
-        loss, n_tok = shifted_ce_loss(logits, labels)
-        acc = ntp_accuracy(logits, labels)
-        return loss, dict(ntp_acc=acc, n_tok=n_tok,
-                          preds=jnp.argmax(logits, axis=-1))
+            loss, n_tok = shifted_ce_loss(logits, labels)
+            acc = ntp_accuracy(logits, labels)
+            return loss, dict(ntp_acc=acc, n_tok=n_tok,
+                              preds=jnp.argmax(logits, axis=-1))
+        return self._loss_segments(params, input_ids, labels, rng=rng,
+                                   deterministic=deterministic, n_seg=n_seg)
+
+    def _loss_segments(
+            self, params: Params, input_ids: jnp.ndarray, labels: jnp.ndarray,
+            *, n_seg: int, rng=None, deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Segment-scan training loss, accumulated INSIDE the scan.
+
+        Mathematically identical to shifted_ce_loss over the full-sequence
+        logits (the cross-boundary prediction -- last token of segment s
+        predicting the first label of segment s+1 -- is carried explicitly),
+        but never materializes [n_seg, B, seg, V] stacked logits, which both
+        wastes memory and breaks the grad-of-scan Mosaic compile at scale.
+        """
+        from musicnlp_tpu.ops.losses import PT_LOSS_PAD
+        cfg = self.cfg
+        fwd_model = self
+        if cfg.use_flash and not cfg.remat_attn:
+            # scan-saved pallas residuals acquire non-standard layouts that
+            # crash the Mosaic compile at scale; rematerializing attention in
+            # the backward pass keeps operand layouts canonical (and saves
+            # the memory anyway)
+            fwd_model = TransfoXL(replace(cfg, remat_attn=True))
+        B, T = input_ids.shape
+        assert T % n_seg == 0
+        seg = T // n_seg
+        segs = input_ids.reshape(B, n_seg, seg).transpose(1, 0, 2)
+        lab_segs = labels.reshape(B, n_seg, seg).transpose(1, 0, 2)
+        mems, valid = self.init_mems(B)
+        seg_rngs = (jax.random.split(rng, n_seg)
+                    if rng is not None and not deterministic else None)
+
+        def seg_terms(logits, lb, prev_last, prev_w):
+            """(nll_sum, n_valid, n_correct) within + across boundary."""
+            lg = logits[:, :-1].astype(jnp.float32)
+            nxt = lb[:, 1:]
+            ok = nxt != PT_LOSS_PAD
+            safe = jnp.where(ok, nxt, 0)
+            logz = jax.nn.logsumexp(lg, axis=-1)
+            tok = jnp.take_along_axis(lg, safe[..., None], -1)[..., 0]
+            nll = jnp.sum(jnp.where(ok, logz - tok, 0.0))
+            n = jnp.sum(ok).astype(jnp.float32)
+            correct = jnp.sum((jnp.argmax(lg, -1) == nxt) & ok).astype(jnp.float32)
+            # boundary: prev segment's last logits predict this segment's
+            # first label (weight 0 on the first segment)
+            b_lb = lb[:, 0]
+            b_ok = (b_lb != PT_LOSS_PAD) & (prev_w > 0)
+            b_safe = jnp.where(b_ok, b_lb, 0)
+            b_logz = jax.nn.logsumexp(prev_last, axis=-1)
+            b_tok = jnp.take_along_axis(prev_last, b_safe[:, None], -1)[:, 0]
+            nll += jnp.sum(jnp.where(b_ok, b_logz - b_tok, 0.0))
+            n += jnp.sum(b_ok).astype(jnp.float32)
+            correct += jnp.sum((jnp.argmax(prev_last, -1) == b_lb)
+                               & b_ok).astype(jnp.float32)
+            return nll, n, correct
+
+        def body(carry, xs):
+            mems, valid, prev_last, prev_w, nll, n, correct = carry
+            if seg_rngs is not None:
+                ids_s, lb_s, r = xs
+            else:
+                (ids_s, lb_s), r = xs, None
+            logits, mems, valid = fwd_model.forward(
+                params, ids_s, mems=mems, mem_valid=valid, rng=r,
+                deterministic=deterministic)
+            d_nll, d_n, d_c = seg_terms(logits, lb_s, prev_last, prev_w)
+            carry = (mems, valid, logits[:, -1].astype(jnp.float32),
+                     jnp.ones((), jnp.float32), nll + d_nll, n + d_n,
+                     correct + d_c)
+            return carry, jnp.argmax(logits, axis=-1)
+
+        init = (mems, valid, jnp.zeros((B, cfg.vocab_size), jnp.float32),
+                jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+        xs = ((segs, lab_segs, seg_rngs) if seg_rngs is not None
+              else (segs, lab_segs))
+        (_, _, _, _, nll, n, correct), preds = jax.lax.scan(body, init, xs)
+        n = jnp.maximum(n, 1.0)
+        preds = preds.transpose(1, 0, 2).reshape(B, T)
+        return nll / n, dict(ntp_acc=correct / n, n_tok=n, preds=preds)
 
     def forward_segments(
             self, params: Params, input_ids: jnp.ndarray, *, n_seg: int,

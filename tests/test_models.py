@@ -152,3 +152,21 @@ def test_shifted_ce_matches_manual():
     manual = -(lp[0, 2] + lp[2, 3]) / 2  # positions with valid next-label
     assert float(n) == 2.0
     np.testing.assert_allclose(float(loss), float(manual), rtol=1e-6)
+
+
+def test_segment_loss_matches_full_logits(tiny):
+    """In-scan segment loss == shifted CE over stacked segment logits."""
+    model, params = tiny
+    ids = jax.random.randint(jax.random.PRNGKey(8), (2, 32), 0, 128)
+    labels = np.asarray(ids).copy()
+    labels[:, 20:] = PT_LOSS_PAD
+    labels = jnp.asarray(labels)
+    loss_seg, mets = model.loss(params, ids, labels, n_seg=2)
+    logits = model.forward_segments(params, ids, n_seg=2)
+    loss_ref, n_ref = shifted_ce_loss(logits, labels)
+    np.testing.assert_allclose(float(loss_seg), float(loss_ref), rtol=1e-5)
+    assert float(mets['n_tok']) == float(n_ref)
+    acc_ref = ntp_accuracy(logits, labels)
+    np.testing.assert_allclose(float(mets['ntp_acc']), float(acc_ref), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mets['preds']),
+                                  np.asarray(jnp.argmax(logits, -1)))
