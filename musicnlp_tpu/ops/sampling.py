@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ['SampleConfig', 'process_logits', 'generate_scan', 'beam_generate',
-           'contrastive_generate']
+           'diverse_beam_generate', 'contrastive_generate']
 
 NEG_INF = -1e30
 
@@ -310,3 +310,105 @@ def contrastive_generate(
     out_len = jnp.where(any_eos, first_eos + 1, max_length)
     buf = jnp.where(idx < out_len[:, None], buf, pad_id)
     return buf, out_len.astype(jnp.int32)
+
+
+def diverse_beam_generate(
+        decode_step: Callable, init_state_fn: Callable, prompt_ids: jnp.ndarray,
+        prompt_len: jnp.ndarray, *, max_length: int, eos_id: int, pad_id: int,
+        num_beams: int, num_beam_groups: int, diversity_penalty: float = 1.0,
+        length_penalty: float = 1.0, reorder_state: Callable = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Diverse (group) beam search (Vijayakumar et al.; HF
+    `num_beam_groups`/`diversity_penalty`, the reference's 'beam(+diverse
+    groups)' strategy, reference eval.py:279-324).
+
+    Beams are split into G groups expanded SEQUENTIALLY within each step;
+    group g's candidate log-probs are penalized by `diversity_penalty` times
+    the number of earlier groups that already chose each token this step.
+    Returns the best beam over all groups per batch element.
+    """
+    B, P = prompt_ids.shape
+    W, G = num_beams, num_beam_groups
+    assert W % G == 0, 'num_beams must divide into num_beam_groups'
+    Wg = W // G
+
+    rep = lambda x: jnp.repeat(x, W, axis=0)
+    buf = jnp.full((B * W, max_length), pad_id, jnp.int32)
+    buf = jax.lax.dynamic_update_slice(buf, rep(prompt_ids), (0, 0))
+    plen = rep(prompt_len)
+    state = init_state_fn(B * W)
+    # per group: beam 0 active, rest -inf
+    scores0 = jnp.tile(
+        jnp.tile(jnp.array([0.0] + [NEG_INF] * (Wg - 1), jnp.float32), (G,)),
+        (B,))
+    finished0 = jnp.zeros((B * W,), bool)
+
+    def body(carry, t):
+        state, buf, scores, finished = carry
+        cur = buf[:, t]
+        logits, state = decode_step(cur, state)             # [B*W, V]
+        V = logits.shape[-1]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logp = logp.reshape(B, G, Wg, V)
+
+        in_prompt = (t + 1) < plen
+        forced_tok = jnp.where(finished, pad_id, buf[:, t + 1])
+        frozen = (finished | in_prompt).reshape(B, G, Wg)
+        forced = forced_tok.reshape(B, G, Wg)
+        sc = scores.reshape(B, G, Wg)
+
+        # expand groups sequentially, accumulating a per-token usage count
+        used = jnp.zeros((B, V), jnp.float32)
+        new_scores, new_toks, new_src = [], [], []
+        for g in range(G):
+            cand = sc[:, g, :, None] + logp[:, g] - diversity_penalty * used[:, None, :]
+            onehot = jax.nn.one_hot(forced[:, g], V, dtype=jnp.float32)
+            cand = jnp.where(frozen[:, g][:, :, None],
+                             sc[:, g, :, None] * onehot + NEG_INF * (1 - onehot),
+                             cand)
+            cand = cand.reshape(B, Wg * V)
+            top_s, top_i = jax.lax.top_k(cand, Wg)          # [B, Wg]
+            src = top_i // V
+            tok = (top_i % V).astype(jnp.int32)
+            # undo the diversity penalty from the stored score (it's a
+            # selection-time bias, not part of the sequence log-prob)
+            sel_used = jnp.take_along_axis(used, tok, axis=1)   # [B, Wg]
+            frozen_sel = jnp.take_along_axis(frozen[:, g], src, axis=1)
+            top_s = jnp.where(frozen_sel, top_s,
+                              top_s + diversity_penalty * sel_used)
+            used = used + jnp.sum(
+                jax.nn.one_hot(tok, V, dtype=jnp.float32)
+                * (~frozen_sel)[:, :, None].astype(jnp.float32), axis=1)
+            new_scores.append(top_s)
+            new_toks.append(tok)
+            new_src.append(src + g * Wg)                    # group-local -> W idx
+        scores = jnp.stack(new_scores, 1).reshape(B * W)
+        toks = jnp.stack(new_toks, 1).reshape(B * W)
+        src_w = jnp.stack(new_src, 1).reshape(B, W)
+        flat_src = (jnp.arange(B)[:, None] * W + src_w).reshape(B * W)
+
+        buf = buf[flat_src]
+        if reorder_state is not None:
+            state = reorder_state(state, flat_src)
+        else:
+            state = jax.tree.map(
+                lambda x: x[flat_src] if (hasattr(x, 'ndim') and x.ndim > 0
+                                          and x.shape[0] == B * W) else x, state)
+        finished = finished[flat_src]
+        new_finished = finished | ((toks == eos_id) & ~in_prompt[flat_src])
+        buf = buf.at[:, t + 1].set(jnp.where(finished, pad_id, toks))
+        return (state, buf, scores, new_finished), None
+
+    (state, buf, scores, finished), _ = jax.lax.scan(
+        body, (state, buf, scores0, finished0), jnp.arange(max_length - 1))
+
+    idx = jnp.arange(max_length)[None, :]
+    is_eos = (buf == eos_id) & (idx >= (plen[:, None] - 1))
+    any_eos = jnp.any(is_eos, axis=1)
+    first_eos = jnp.argmax(is_eos, axis=1)
+    out_len = jnp.where(any_eos, first_eos + 1, max_length)
+    norm = scores / (out_len.astype(jnp.float32) ** length_penalty)
+    best = jnp.argmax(norm.reshape(B, W), axis=1)
+    sel = jnp.arange(B) * W + best
+    buf = jnp.where(idx < out_len[sel][:, None], buf[sel], pad_id)
+    return buf, out_len[sel].astype(jnp.int32)

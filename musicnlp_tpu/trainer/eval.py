@@ -285,19 +285,35 @@ class MusicGenerator:
                         hidden_dtype=model.cfg.compute_dtype)
             elif strategy == 'beam':
                 num_beams = int(strategy_args.get('num_beams', 4))
+                n_groups = int(strategy_args.get('num_beam_groups', 1))
                 length_penalty = float(strategy_args.get('length_penalty', 1.0))
+                div_penalty = float(strategy_args.get('diversity_penalty', 1.0))
 
                 def reorder(st: DecodeState, idx):
                     return DecodeState(st.cache_k[:, idx], st.cache_v[:, idx],
                                        st.cache_pos, st.step)
 
-                def run(params, prompt_ids, plen, rng):
-                    return beam_generate(
-                        lambda t, s: model.decode_step(params, t, s),
-                        model.init_decode_state, prompt_ids, plen,
-                        max_length=max_length, eos_id=tok.eos_token_id,
-                        pad_id=tok.pad_token_id, num_beams=num_beams,
-                        length_penalty=length_penalty, reorder_state=reorder)
+                if n_groups > 1:
+                    from musicnlp_tpu.ops.sampling import diverse_beam_generate
+
+                    def run(params, prompt_ids, plen, rng):
+                        return diverse_beam_generate(
+                            lambda t, s: model.decode_step(params, t, s),
+                            model.init_decode_state, prompt_ids, plen,
+                            max_length=max_length, eos_id=tok.eos_token_id,
+                            pad_id=tok.pad_token_id, num_beams=num_beams,
+                            num_beam_groups=n_groups,
+                            diversity_penalty=div_penalty,
+                            length_penalty=length_penalty,
+                            reorder_state=reorder)
+                else:
+                    def run(params, prompt_ids, plen, rng):
+                        return beam_generate(
+                            lambda t, s: model.decode_step(params, t, s),
+                            model.init_decode_state, prompt_ids, plen,
+                            max_length=max_length, eos_id=tok.eos_token_id,
+                            pad_id=tok.pad_token_id, num_beams=num_beams,
+                            length_penalty=length_penalty, reorder_state=reorder)
             else:
                 def run(params, prompt_ids, plen, rng):
                     st = model.init_decode_state(prompt_ids.shape[0])

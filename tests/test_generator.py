@@ -128,3 +128,18 @@ def test_contrastive_generation(gen):
                      top_k=1, penalty_alpha=0.0)
     g = gen.generate(prompts, strategy='greedy', max_length=24)
     assert c == g
+
+
+def test_diverse_beam_generation(gen):
+    prompts = [gen.unconditional_prompt()]
+    a = gen.generate(prompts, strategy='beam', max_length=28, num_beams=4,
+                     num_beam_groups=2, diversity_penalty=2.0)
+    b = gen.generate(prompts, strategy='beam', max_length=28, num_beams=4,
+                     num_beam_groups=2, diversity_penalty=2.0)
+    assert a == b                            # deterministic
+    assert a[0].startswith(prompts[0])
+    assert all(t in gen.vocab for t in a[0].split())
+    # diversity_penalty 0 with one beam per group degrades to vanilla beam
+    c = gen.generate(prompts, strategy='beam', max_length=28, num_beams=2,
+                     num_beam_groups=1)
+    assert all(t in gen.vocab for t in c[0].split())
