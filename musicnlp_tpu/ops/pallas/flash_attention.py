@@ -147,10 +147,16 @@ def _make_fwd(M, scale, clamp_len, bq, bk, n_kb, H, out_dtype):
     return kernel
 
 
-def _make_bwd_q(M, scale, clamp_len, bq, bk, n_kb, H, grad_dtype):
-    """Grid (BN, n_qb, n_kb): d_rw [bq,H], dU [bq,D]."""
+def _make_bwd_fused(M, scale, clamp_len, bq, bk, n_kb, H, grad_dtype):
+    """Grid (BN, n_qb, n_kb), k minor: ONE score recompute per block pair.
+
+    drw/du accumulate in scratch across the k sweep; dk/dv contributions are
+    written directly as per-q-block PARTIALS (each (qi, ki) output block is
+    visited exactly once, so there is no revisit-order conflict) and summed
+    over the small n_qb axis outside the kernel.
+    """
     def kernel(mv_ref, rw_ref, u_ref, k_ref, v_ref, vk_ref, vkl_ref,
-               dod_ref, drw_ref, du_ref, drw_acc, du_acc):
+               dod_ref, drw_ref, du_ref, dkp_ref, dvp_ref, drw_acc, du_acc):
         ki, qi = pl.program_id(2), pl.program_id(1)
         q0, k0 = qi * bq, ki * bk
 
@@ -175,6 +181,13 @@ def _make_bwd_q(M, scale, clamp_len, bq, bk, n_kb, H, grad_dtype):
             drw_acc[:] += jax.lax.dot_general(
                 ds.astype(grad_dtype), k_ref[0], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            # k/v-side partials for this block pair
+            dvp_ref[0, 0] = jax.lax.dot_general(
+                p.astype(grad_dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dvp_ref.dtype)
+            dkp_ref[0, 0] = jax.lax.dot_general(
+                ds.astype(grad_dtype), rw_ref[0], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dkp_ref.dtype)
             if masked:
                 is_far = d > clamp_len
                 ds_near = jnp.where(is_far, 0.0, ds)
@@ -202,60 +215,16 @@ def _make_bwd_q(M, scale, clamp_len, bq, bk, n_kb, H, grad_dtype):
         def _():
             _update(masked=True)
 
+        @pl.when(jnp.logical_not(visited))
+        def _():
+            # every (qi, ki) partial block is written exactly once
+            dkp_ref[0, 0] = jnp.zeros_like(dkp_ref[0, 0])
+            dvp_ref[0, 0] = jnp.zeros_like(dvp_ref[0, 0])
+
         @pl.when(ki == n_kb - 1)
         def _():
             drw_ref[0] = drw_acc[:].astype(drw_ref.dtype)
             du_ref[0] = du_acc[:].astype(du_ref.dtype)
-    return kernel
-
-
-def _make_bwd_kv(M, scale, clamp_len, bq, bk, n_qb, H, grad_dtype):
-    """Grid (BN, n_kb, n_qb): dk [bk,H], dv [bk,H]."""
-    def kernel(mv_ref, rw_ref, u_ref, k_ref, v_ref, vk_ref, vkl_ref,
-               dod_ref, dk_ref, dv_ref, dk_acc, dv_acc):
-        qi, ki = pl.program_id(2), pl.program_id(1)
-        q0, k0 = qi * bq, ki * bk
-
-        @pl.when(qi == 0)
-        def _():
-            dk_acc[:] = jnp.zeros_like(dk_acc)
-            dv_acc[:] = jnp.zeros_like(dv_acc)
-
-        def _update(masked):
-            far = _far_col(u_ref[0], vkl_ref[:]) if masked else None
-            s, _ = _score_block(
-                rw_ref[0], u_ref[0], k_ref[0], vk_ref[:], far,
-                q0, k0, M, scale, clamp_len, mv_ref[0], bq, bk, masked)
-            dod = dod_ref[0].astype(jnp.float32)
-            lse = dod[:, H:H + 1]
-            delta = dod[:, H + 1:H + 2]
-            do = dod[:, :H].astype(grad_dtype)
-            p = jnp.exp(s - lse)
-            dv_acc[:] += jax.lax.dot_general(
-                p.astype(grad_dtype), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            ds = (p * (dp - delta) * scale).astype(grad_dtype)
-            dk_acc[:] += jax.lax.dot_general(
-                ds, rw_ref[0], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        visited = k0 <= M + q0 + bq - 1
-        interior = _interior(q0, k0, M, clamp_len, mv_ref[0], bq, bk)
-
-        @pl.when(visited & interior)
-        def _():
-            _update(masked=False)
-
-        @pl.when(visited & jnp.logical_not(interior))
-        def _():
-            _update(masked=True)
-
-        @pl.when(qi == n_qb - 1)
-        def _():
-            dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
-            dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
     return kernel
 
 
@@ -341,9 +310,9 @@ def _flash_bwd(M, scale, clamp_len, bq, bk, interpret, res, g):
         jnp.zeros((BN, T, P - H - 2), jnp.float32)], axis=-1).astype(rw3.dtype)
     mv = jnp.asarray(mem_valid, jnp.float32).astype(jnp.int32).reshape(1)
 
-    kq = _make_bwd_q(M, scale, clamp_len, bq, bk, n_kb, H, rw3.dtype)
-    drw, du = pl.pallas_call(
-        kq,
+    kf = _make_bwd_fused(M, scale, clamp_len, bq, bk, n_kb, H, rw3.dtype)
+    drw, du, dkp, dvp = pl.pallas_call(
+        kf,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(BN, n_qb, n_kb),
             in_specs=_in_specs(bq, bk, H, D) + [
@@ -352,6 +321,8 @@ def _flash_bwd(M, scale, clamp_len, bq, bk, interpret, res, g):
             out_specs=[
                 pl.BlockSpec((1, bq, H), lambda b, i, j, mv: (b, i, 0)),
                 pl.BlockSpec((1, bq, D), lambda b, i, j, mv: (b, i, 0)),
+                pl.BlockSpec((1, 1, bk, H), lambda b, i, j, mv: (b, i, j, 0)),
+                pl.BlockSpec((1, 1, bk, H), lambda b, i, j, mv: (b, i, j, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((bq, H), jnp.float32),
@@ -362,39 +333,12 @@ def _flash_bwd(M, scale, clamp_len, bq, bk, interpret, res, g):
         out_shape=[
             jax.ShapeDtypeStruct((BN, T, H), rw3.dtype),
             jax.ShapeDtypeStruct((BN, T, D), rw3.dtype),
+            jax.ShapeDtypeStruct((BN, n_qb, S, H), rw3.dtype),
+            jax.ShapeDtypeStruct((BN, n_qb, S, H), rw3.dtype),
         ],
     )(mv, rw3, u3, k3, v3, vk, vkl, dod)
-
-    kv_specs = [
-        pl.BlockSpec((1, bq, H), lambda b, j, i, mv: (b, i, 0)),    # rw
-        pl.BlockSpec((1, bq, D), lambda b, j, i, mv: (b, i, 0)),    # u
-        pl.BlockSpec((1, bk, H), lambda b, j, i, mv: (b, j, 0)),    # k
-        pl.BlockSpec((1, bk, H), lambda b, j, i, mv: (b, j, 0)),    # v
-        pl.BlockSpec((bk, D), lambda b, j, i, mv: (j, 0)),          # vk
-        pl.BlockSpec((bq, D), lambda b, j, i, mv: (i, 0)),          # vkl
-        pl.BlockSpec((1, bq, P), lambda b, j, i, mv: (b, i, 0)),    # dod
-    ]
-    kkv = _make_bwd_kv(M, scale, clamp_len, bq, bk, n_qb, H, rw3.dtype)
-    dk, dv = pl.pallas_call(
-        kkv,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(BN, n_kb, n_qb),
-            in_specs=kv_specs,
-            out_specs=[
-                pl.BlockSpec((1, bk, H), lambda b, j, i, mv: (b, j, 0)),
-                pl.BlockSpec((1, bk, H), lambda b, j, i, mv: (b, j, 0)),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((bk, H), jnp.float32),
-                pltpu.VMEM((bk, H), jnp.float32),
-            ],
-        ),
-        interpret=interpret,
-        out_shape=[
-            jax.ShapeDtypeStruct((BN, S, H), rw3.dtype),
-            jax.ShapeDtypeStruct((BN, S, H), rw3.dtype),
-        ],
-    )(mv, rw3, u3, k3, v3, vk, vkl, dod)
+    dk = jnp.sum(dkp.astype(jnp.float32), axis=1).astype(rw3.dtype)
+    dv = jnp.sum(dvp.astype(jnp.float32), axis=1).astype(rw3.dtype)
 
     return (drw, du, dk, dv, jnp.zeros_like(vk), jnp.zeros_like(vkl),
             jnp.zeros((), jnp.float32))
