@@ -58,7 +58,7 @@ class TransfoXLConfig:
     # to the jnp path off-TPU, for non-block-divisible shapes, or dropatt>0
     use_flash: bool = True
     flash_block_q: int = 512
-    flash_block_k: int = 1024
+    flash_block_k: int = 512
     # rematerialize attention in the backward pass: drops the U-factor
     # residuals (~D/H x the usual activation size) at the cost of one extra
     # forward kernel per layer -- enables large-batch training

@@ -26,10 +26,12 @@ in columns [0, H) and the LSE in column H (H=64 pads to 128 lanes anyway);
 the backward kernels receive dO packed the same way with LSE and delta in
 columns H and H+1.
 
-Backward = two more Pallas kernels (dq/dU-side, dk/dv-side) behind a custom
-VJP.  The U/gs/gc construction stays ordinary jnp, so JAX autodiff composes
-the W_r / bias gradients automatically (the clamped-bias grad flows through
-dU exactly, since the clamped bias is linear in U).
+Backward = ONE fused Pallas kernel behind a custom VJP: scores recompute
+once per block pair; drw/dU accumulate in scratch over the k sweep while
+dk/dv emit as per-q-block partials summed outside.  The U/gs/gc construction
+stays ordinary jnp, so JAX autodiff composes the W_r / bias gradients
+automatically (the clamped-bias grad flows through dU exactly, since the
+clamped bias is linear in U).
 """
 from __future__ import annotations
 
@@ -47,7 +49,7 @@ __all__ = ['flash_rel_attn', 'fused_rel_attn', 'fused_rel_attn_available']
 
 NEG_INF = -1e30
 DEFAULT_BQ = 512
-DEFAULT_BK = 1024
+DEFAULT_BK = 512
 
 
 def _pad_to(h: int) -> int:
