@@ -72,8 +72,13 @@ def _interior(q0, k0, M, clamp_len, mem_valid, bq, bk):
 
 
 def _score_block(rw, u, kb, vkb, far_col, q0, k0, M, scale, clamp_len,
-                 mem_valid, bq, bk, masked):
-    """Masked, scaled scores [bq, bk] f32 (+ d when masked)."""
+                 mem_valid, bq, bk, masked, with_far=True):
+    """Masked, scaled scores [bq, bk] f32 (+ d when masked).
+
+    `with_far` is a trace-time flag: whether any distance in this block pair
+    can exceed clamp_len (static given q0/k0 bounds); skipping the clamp
+    select + per-query far dot on the many blocks that can't saves real VPU
+    time -- masked-block elementwise work is the kernel's hot spot."""
     s = jax.lax.dot_general(rw, kb, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     bd = jax.lax.dot_general(u, vkb, (((1,), (1,)), ((), ())),
@@ -83,7 +88,8 @@ def _score_block(rw, u, kb, vkb, far_col, q0, k0, M, scale, clamp_len,
     qpos = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + (M + q0)
     kpos = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + k0
     d = qpos - kpos
-    bd = jnp.where(d > clamp_len, far_col, bd)
+    if with_far:
+        bd = jnp.where(d > clamp_len, far_col, bd)
     s = (s + bd) * scale
     valid = (d >= 0) & (kpos >= (M - mem_valid))
     return jnp.where(valid, s, NEG_INF), d
@@ -107,11 +113,13 @@ def _make_fwd(M, scale, clamp_len, bq, bk, n_kb, H, out_dtype):
             m_i[:] = jnp.full_like(m_i, NEG_INF)
             l_i[:] = jnp.zeros_like(l_i)
 
-        def _update(masked):
-            far = _far_col(u_ref[0], vkl_ref[:]) if masked else None
+        def _update(masked, with_far=True):
+            far = (_far_col(u_ref[0], vkl_ref[:])
+                   if masked and with_far else None)
             s, _ = _score_block(
                 rw_ref[0], u_ref[0], k_ref[0], vk_ref[:], far,
-                q0, k0, M, scale, clamp_len, mv_ref[0], bq, bk, masked)
+                q0, k0, M, scale, clamp_len, mv_ref[0], bq, bk, masked,
+                with_far=with_far)
             m_prev = m_i[:]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
             p = jnp.exp(s - m_new)
@@ -125,14 +133,20 @@ def _make_fwd(M, scale, clamp_len, bq, bk, n_kb, H, out_dtype):
 
         visited = k0 <= M + q0 + bq - 1          # skip fully-future blocks
         interior = _interior(q0, k0, M, clamp_len, mv_ref[0], bq, bk)
+        may_clamp = (M + q0 + bq - 1 - k0) > clamp_len   # any d > clamp here?
 
         @pl.when(visited & interior)
         def _():
             _update(masked=False)
 
-        @pl.when(visited & jnp.logical_not(interior))
+        @pl.when(visited & jnp.logical_not(interior) & may_clamp)
         def _():
-            _update(masked=True)
+            _update(masked=True, with_far=True)
+
+        @pl.when(visited & jnp.logical_not(interior)
+                 & jnp.logical_not(may_clamp))
+        def _():
+            _update(masked=True, with_far=False)
 
         @pl.when(ki == n_kb - 1)
         def _():
@@ -167,11 +181,13 @@ def _make_bwd_fused(M, scale, clamp_len, bq, bk, n_kb, H, grad_dtype):
             drw_acc[:] = jnp.zeros_like(drw_acc)
             du_acc[:] = jnp.zeros_like(du_acc)
 
-        def _update(masked):
-            far = _far_col(u_ref[0], vkl_ref[:]) if masked else None
+        def _update(masked, with_far=True):
+            far = (_far_col(u_ref[0], vkl_ref[:])
+                   if masked and with_far else None)
             s, d = _score_block(
                 rw_ref[0], u_ref[0], k_ref[0], vk_ref[:], far,
-                q0, k0, M, scale, clamp_len, mv_ref[0], bq, bk, masked)
+                q0, k0, M, scale, clamp_len, mv_ref[0], bq, bk, masked,
+                with_far=with_far)
             dod = dod_ref[0].astype(jnp.float32)               # [bq, P]
             lse = dod[:, H:H + 1]
             delta = dod[:, H + 1:H + 2]
@@ -190,7 +206,7 @@ def _make_bwd_fused(M, scale, clamp_len, bq, bk, n_kb, H, grad_dtype):
             dkp_ref[0, 0] = jax.lax.dot_general(
                 ds.astype(grad_dtype), rw_ref[0], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(dkp_ref.dtype)
-            if masked:
+            if masked and with_far:
                 is_far = d > clamp_len
                 ds_near = jnp.where(is_far, 0.0, ds)
                 du_acc[:] += jax.lax.dot_general(
@@ -208,14 +224,20 @@ def _make_bwd_fused(M, scale, clamp_len, bq, bk, n_kb, H, grad_dtype):
 
         visited = k0 <= M + q0 + bq - 1
         interior = _interior(q0, k0, M, clamp_len, mv_ref[0], bq, bk)
+        may_clamp = (M + q0 + bq - 1 - k0) > clamp_len
 
         @pl.when(visited & interior)
         def _():
             _update(masked=False)
 
-        @pl.when(visited & jnp.logical_not(interior))
+        @pl.when(visited & jnp.logical_not(interior) & may_clamp)
         def _():
-            _update(masked=True)
+            _update(masked=True, with_far=True)
+
+        @pl.when(visited & jnp.logical_not(interior)
+                 & jnp.logical_not(may_clamp))
+        def _():
+            _update(masked=True, with_far=False)
 
         @pl.when(jnp.logical_not(visited))
         def _():
