@@ -91,3 +91,43 @@ def test_train_log_parsing(tmp_path):
     assert s['best_epoch'] == 1 and s['mean_tokens_per_sec'] == 1000.0
     p = plot_train_curves(path)
     assert os.path.getsize(p) > 0
+
+
+def test_step_timer_and_profile_fn():
+    from musicnlp_tpu.utils.profiling import StepTimer, profile_fn
+    t = StepTimer()
+    for _ in range(5):
+        t.mark(n_tokens=100)
+    s = t.summary()
+    assert s['steps'] == 5 and s['tokens_per_sec'] > 0
+    assert 'p50_step_s' in s and 'p90_step_s' in s
+    rep = profile_fn(lambda: sum(range(10000)))
+    assert 'function calls' in rep
+
+
+def test_music_fs_discovery_and_splits(tmp_path, monkeypatch):
+    import os
+    from musicnlp_tpu.utils.music_fs import (
+        get_converted_song_paths, load_split_map, save_split_map,
+    )
+    # backend-deduped discovery: MS preferred over LP for the same stem
+    base = tmp_path / 'datasets' / 'converted' / 'POP909'
+    for backend, stems in (('MS', ['a - x', 'b - y']), ('LP', ['b - y', 'c - z'])):
+        d = base / backend
+        d.mkdir(parents=True)
+        for s in stems:
+            (d / f'{s}.mxl').write_bytes(b'zz')
+    monkeypatch.setenv('MUSICNLP_TPU_BASE', str(tmp_path))
+    paths = get_converted_song_paths('POP909')
+    stems = sorted(os.path.splitext(os.path.basename(p))[0] for p in paths)
+    assert stems == ['a - x', 'b - y', 'c - z']
+    assert any('/MS/' in p and 'b - y' in p for p in paths)   # MS wins dup
+
+    # split maps: json + MAESTRO-style csv
+    m = {'song1': 'train', 'song2': 'test'}
+    save_split_map(m, str(tmp_path / 'split.json'))
+    assert load_split_map(str(tmp_path / 'split.json')) == m
+    csv_p = tmp_path / 'maestro.csv'
+    csv_p.write_text('canonical_title,split\nfoo,train\nbar,validation\n')
+    got = load_split_map(str(csv_p))
+    assert got == {'foo': 'train', 'bar': 'test'}
