@@ -145,6 +145,7 @@ class Trainer:
         self.ikr = IkrMetric(tokenizer, mode=ikr_mode)
         self._id_pc = jnp.asarray(self.ikr.id_pitch_class)
         self._inkey = jnp.asarray(self.ikr.key_inkey_mask)
+        self._id2key = jnp.asarray(self.ikr.id2key_ordinal)
         self._build_steps()
 
         self.log_path = os.path.join(self.out_dir, 'train_log.jsonl')
@@ -164,8 +165,15 @@ class Trainer:
     def _metrics_in_step(self, mets, labels, key_scores):
         preds = mets.pop('preds')
         valid = labels[:, 1:] != PT_LOSS_PAD
+        key_ordinal = None
+        if self.ikr.mode == 'ins-key':
+            # key read from the 3rd token (the inserted Key_* token,
+            # reference metrics.py:60-66)
+            key_ids = jnp.clip(labels[:, 2], 0, self._id2key.shape[0] - 1)
+            key_ordinal = jnp.maximum(self._id2key[key_ids], 0)
         mets['ikr'] = ikr_from_ids(
-            preds[:, :-1], key_scores, self._id_pc, self._inkey, valid=valid)
+            preds[:, :-1], key_scores, self._id_pc, self._inkey, valid=valid,
+            key_ordinal=key_ordinal)
         return mets
 
     def _build_steps(self):

@@ -267,3 +267,26 @@ def test_resume_from_checkpoint(setup, tmp_path_factory):
     epochs = sorted({r['epoch'] for r in log if 'epoch' in r})
     assert min(epochs) == 2 and max(epochs) == 3   # resumed after epoch 1
     assert res['best_eval_loss'] < float('inf') or True
+
+
+def test_ins_key_ikr_in_step():
+    """Trainer in-step IKR uses the inserted key when ikr_mode='ins-key'."""
+    from musicnlp_tpu.trainer.train import setup_recipe
+    from musicnlp_tpu.preprocess.dataset import SongDataset
+    from musicnlp_tpu.vocab import MusicVocabulary
+    vs = MusicVocabulary(pitch_kind='step')
+    sd = SongDataset.from_songs(_songs(8, seed=3), vocab=vs)
+    tr = setup_recipe('22-11', sd, eval_datasets=sd,
+                      train_args=dict(num_train_epochs=1, batch_size=8))
+    assert tr.ikr.mode == 'ins-key'
+    batch = next(tr.train_dataset.batches(8, shuffle=False))
+    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+    # metrics path: preds == inputs -> IKR equals the data's in-key ratio
+    mets = dict(preds=batch_j['input_ids'])
+    out = tr._metrics_in_step(mets, batch_j['labels'], batch_j['key_scores'])
+    ikr_val = float(out['ikr'])
+    assert 0.0 < ikr_val <= 1.0
+    # manual: ins-key metric over the same arrays agrees
+    want = tr.ikr(np.asarray(batch['input_ids']), np.asarray(batch['labels']),
+                  np.asarray(batch['key_scores']))
+    assert np.isclose(ikr_val, want, atol=1e-5)
