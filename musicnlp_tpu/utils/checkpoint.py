@@ -1,11 +1,14 @@
-"""Flat-npz pytree checkpointing.
+"""Pytree checkpointing: flat-npz default, orbax backend for multi-host.
 
 Replaces the reference's HF `save_strategy='epoch'` + `from_pretrained`
-checkpoint flow (reference musicnlp/trainer/train.py:171-189, eval.py:37-95)
-with a dependency-light format: one .npz per checkpoint, keys are '/'-joined
-pytree paths.  Restore takes a template pytree (e.g. `model.init(...)`) so
-structure never lives in the file.  Sharded arrays are gathered to host on
-save (model sizes here are far below host RAM).
+checkpoint flow (reference musicnlp/trainer/train.py:171-189, eval.py:37-95).
+The default format is one .npz per checkpoint with '/'-joined pytree-path
+keys -- dependency-light, debuggable, and fine on a single host (sharded
+arrays gather on save; model sizes here are far below host RAM).  For
+multi-host / multi-slice runs pass `backend='orbax'`: orbax writes each
+shard from its owning process and restores with the template's shardings.
+Restore always takes a template pytree (e.g. `model.init(...)`) so structure
+never lives in the file.
 """
 from __future__ import annotations
 
@@ -35,8 +38,15 @@ def _flatten(tree) -> Dict[str, np.ndarray]:
     return flat
 
 
-def save_pytree(path: str, tree) -> str:
-    """Save a pytree of arrays to `path` (.npz appended if missing)."""
+def save_pytree(path: str, tree, backend: str = 'npz') -> str:
+    """Save a pytree of arrays (.npz appended for the npz backend)."""
+    if backend == 'orbax':
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(path)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, tree, force=True)
+        return path
+    assert backend == 'npz', backend
     if not path.endswith('.npz'):
         path = path + '.npz'
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
@@ -44,8 +54,15 @@ def save_pytree(path: str, tree) -> str:
     return path
 
 
-def restore_pytree(path: str, template) -> Any:
-    """Restore into the structure of `template` (dtypes preserved from file)."""
+def restore_pytree(path: str, template, backend: str = None) -> Any:
+    """Restore into the structure of `template` (dtypes preserved from file).
+    Backend auto-detected: a directory is an orbax checkpoint."""
+    if backend is None:
+        backend = 'orbax' if os.path.isdir(path) else 'npz'
+    if backend == 'orbax':
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(os.path.abspath(path), template)
     if not path.endswith('.npz'):
         path = path + '.npz'
     z = np.load(path)

@@ -290,3 +290,15 @@ def test_ins_key_ikr_in_step():
     want = tr.ikr(np.asarray(batch['input_ids']), np.asarray(batch['labels']),
                   np.asarray(batch['key_scores']))
     assert np.isclose(ikr_val, want, atol=1e-5)
+
+
+def test_orbax_checkpoint_backend(setup, tmp_path):
+    """Orbax backend round-trips sharded params (multi-host-ready path)."""
+    model, *_ = setup
+    params = model.init(jax.random.PRNGKey(7))
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=2)
+    sharded = mesh_lib.shard_pytree(params, mesh_lib.param_specs(params), mesh)
+    path = save_pytree(str(tmp_path / 'ock'), sharded, backend='orbax')
+    back = restore_pytree(path, jax.tree.map(np.zeros_like, params))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
