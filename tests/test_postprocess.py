@@ -131,3 +131,14 @@ def test_music_fs_discovery_and_splits(tmp_path, monkeypatch):
     csv_p.write_text('canonical_title,split\nfoo,train\nbar,validation\n')
     got = load_split_map(str(csv_p))
     assert got == {'foo': 'train', 'bar': 'test'}
+
+
+def test_sample_fixtures_cross_kind_consistent():
+    """The three pitch-kind fixtures are the SAME song: step->midi matches the
+    midi fixture; step+CMajor->degree matches the degree fixture."""
+    from musicnlp_tpu.preprocess import transform as tsf
+    to_midi = tsf.ToMidiPitch()(sample_full_step)
+    assert to_midi == sample_full_midi
+    ak = tsf.AugmentKey()
+    as_degree = ak((sample_full_step, 'CMajor'))
+    assert as_degree == sample_full_degree

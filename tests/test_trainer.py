@@ -302,3 +302,25 @@ def test_orbax_checkpoint_backend(setup, tmp_path):
     back = restore_pytree(path, jax.tree.map(np.zeros_like, params))
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_with_proportional_mixing(setup, tmp_path):
+    """ProportionMixingDataset trains through the full loop with per-epoch
+    resampling (reference ProportionalMixCallback equivalent)."""
+    from musicnlp_tpu.preprocess.dataset import ProportionMixingDataset
+    model, tok, train, evald = setup
+    big = train
+    mixed = ProportionMixingDataset([big, big], k=12)
+    assert len(mixed) == 24
+    first_idxs = [np.array(i, copy=True) if i is not None else None
+                  for i in mixed._sampled_idxs]
+    args = TrainArgs(batch_size=8, learning_rate=1e-3, weight_decay=0.0,
+                     lr_scheduler_type='constant', num_train_epochs=2,
+                     load_best_model_at_end=False)
+    tr = Trainer(model, tok, mixed, evald, args=args, out_dir=str(tmp_path))
+    tr.train()
+    # resample() ran (subsets re-drawn for over-k datasets)
+    changed = any(
+        f is not None and not np.array_equal(f, s)
+        for f, s in zip(first_idxs, mixed._sampled_idxs))
+    assert changed
