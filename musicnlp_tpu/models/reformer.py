@@ -102,8 +102,17 @@ class ReformerConfig:
             vocab_size=vocab_size, model_size=model_size,
             d_head=d // p['n_head'], d_ff=d * 4,
             attn_layers=('local', 'lsh') * n_pairs, **p)
-        if max_length:
+        if max_length and max_length != cfg['max_length']:
             cfg['max_length'] = max_length
+            if 'axial_pos_shape' not in kwargs:
+                # near-square factorization (the reference attempted
+                # 4096 = 64 x 64, reference trainer/train.py:431-434)
+                a = 1
+                while a * a < max_length:
+                    a *= 2
+                assert max_length % a == 0, \
+                    f'max_length {max_length} must be a power-of-two-ish product'
+                cfg['axial_pos_shape'] = (max_length // a, a)
         cfg.update(kwargs)
         c = cls(**cfg)
         n1, n2 = c.axial_pos_shape

@@ -202,3 +202,12 @@ def test_reformer_decode_matches_forward(debug_reformer):
         ref = model.forward(params, buf, pad_mask=jnp.broadcast_to(pm, buf.shape))
         np.testing.assert_allclose(np.asarray(lg), np.asarray(ref[:, t]),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_reformer_max_length_override_auto_axial():
+    cfg = ReformerConfig.from_size('tiny', vocab_size=422, max_length=4096)
+    assert cfg.max_length == 4096
+    n1, n2 = cfg.axial_pos_shape
+    assert n1 * n2 == 4096 and n2 == 64  # the reference's attempted 64x64
+    cfg2 = ReformerConfig.from_size('debug', vocab_size=422, max_length=128)
+    assert cfg2.axial_pos_shape[0] * cfg2.axial_pos_shape[1] == 128
