@@ -102,6 +102,18 @@ class WordPieceMusicTrainer:
         self.vocab = MusicVocabulary(precision=precision, pitch_kind=pitch_kind)
         self.s2w = Score2Word(self.vocab)
 
+    @staticmethod
+    def key_augmented_corpus(songs):
+        """Yield each song once per candidate key, key-inserted and
+        degree-shifted (the reference's training corpus: song x all keys via
+        iter_song_w_all_keys + AugmentKey, reference :280-282)."""
+        from musicnlp_tpu.preprocess import transform as tsf
+        from musicnlp_tpu.preprocess.dataset import iter_song_w_all_keys
+        ak = tsf.AugmentKey()
+        out = iter_song_w_all_keys(list(songs))
+        for score, key in out.generator:
+            yield ak((score, key))
+
     def __call__(self, songs: Iterable[Union[str, Dict]], vocab_size: int,
                  save: str = None) -> 'WordPieceMusicTokenizer':
         n_base = len(self.vocab)

@@ -185,3 +185,21 @@ def test_string_dataset_with_pairmerge_degree_keyaug():
     assert item['input_ids'].shape == (40,)
     dec = tok.decode(item['input_ids'])
     assert 'Key_' in dec  # key token inserted at position 2
+
+
+def test_wordpiece_key_augmented_corpus():
+    """Degree-kind WordPiece trains over the song x candidate-keys corpus
+    (the reference's flow, wordpiece_tokenizer.py:280-282)."""
+    step_songs = [dict(score=('TimeSig_4/4 Tempo_120 <bar> <melody> p_1/4_C d_1 '
+                              'p_5/4_E d_1 p_8/4_G d_2 <bass> p_1/3_C d_4 </s>'),
+                       keys={'CMajor': 0.8, 'GMajor': 0.5}),
+                 dict(score=('TimeSig_3/4 Tempo_90 <bar> <melody> p_3/4_D d_1 '
+                             'p_8/4_G d_2 <bass> p_8/2_G d_3 </s>'),
+                      keys={'GMajor': 0.9})]
+    tr = WordPieceMusicTrainer(pitch_kind='degree')
+    corpus = list(WordPieceMusicTrainer.key_augmented_corpus(step_songs))
+    assert len(corpus) == 3           # 2 keys + 1 key
+    assert all('Key_' in c.split()[2] for c in corpus)
+    tok = tr(corpus, vocab_size=2 * len(tr.vocab) + 8)
+    for c in corpus:
+        assert tok.decode(tok.encode(c)) == c
