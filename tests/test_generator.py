@@ -143,3 +143,18 @@ def test_diverse_beam_generation(gen):
     c = gen.generate(prompts, strategy='beam', max_length=28, num_beams=2,
                      num_beam_groups=1)
     assert all(t in gen.vocab for t in c[0].split())
+
+
+def test_conditional_prompt_from_mxl_file(gen, tmp_path):
+    """Prompt built from an extracted-score FILE via mxl2str (reference
+    eval.py:243-266 conditional flow)."""
+    from musicnlp_tpu.preprocess import MusicConverter
+    mc = MusicConverter(mode='full')
+    score = mc.str2score(SAMPLE_STEP, pitch_kind='step', title='prompt-src')
+    p = str(tmp_path / 'prompt.mxl')
+    score.write_mxl(p)
+    prompt = gen.conditional_prompt(p, n_bar=2)
+    assert prompt.count('<bar>') == 2
+    assert all(t in gen.vocab for t in prompt.split())   # midi kind
+    outs = gen.generate([prompt], strategy='greedy', max_length=64)
+    assert outs[0].startswith(prompt)
