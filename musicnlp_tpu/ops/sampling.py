@@ -22,6 +22,22 @@ __all__ = ['SampleConfig', 'process_logits', 'generate_scan', 'beam_generate',
 NEG_INF = -1e30
 
 
+def _default_reorder(state, idx, n: int):
+    """Gather a decode state's beam axis by `idx` when no reorder_state was
+    given: for each leaf, gather axis 0 if its dim0 == n, else axis 1 if its
+    dim1 == n (TF-XL caches carry batch on axis 1, [L, B*W, M, N, H]); leaves
+    with neither axis sized n (scalars, positions) pass through unchanged."""
+    def go(x):
+        if not hasattr(x, 'ndim') or x.ndim == 0:
+            return x
+        if x.shape[0] == n:
+            return x[idx]
+        if x.ndim > 1 and x.shape[1] == n:
+            return x[:, idx]
+        return x
+    return jax.tree.map(go, state)
+
+
 @dataclass(frozen=True)
 class SampleConfig:
     """Mirror of the reference strategy args (eval.py:279-324)."""
@@ -212,9 +228,7 @@ def beam_generate(
         if reorder_state is not None:
             state = reorder_state(state, flat_src)
         else:
-            state = jax.tree.map(
-                lambda x: x[flat_src] if (hasattr(x, 'ndim') and x.ndim > 0
-                                          and x.shape[0] == B * W) else x, state)
+            state = _default_reorder(state, flat_src, B * W)
         finished = finished[flat_src]
         scores = top_scores.reshape(B * W)
         nxt = tok_idx.reshape(B * W)
@@ -391,9 +405,7 @@ def diverse_beam_generate(
         if reorder_state is not None:
             state = reorder_state(state, flat_src)
         else:
-            state = jax.tree.map(
-                lambda x: x[flat_src] if (hasattr(x, 'ndim') and x.ndim > 0
-                                          and x.shape[0] == B * W) else x, state)
+            state = _default_reorder(state, flat_src, B * W)
         finished = finished[flat_src]
         new_finished = finished | ((toks == eos_id) & ~in_prompt[flat_src])
         buf = buf.at[:, t + 1].set(jnp.where(finished, pad_id, toks))

@@ -146,23 +146,39 @@ def repair_generated(text: str, vocab: MusicVocabulary) -> str:
 
 def load_trained(out_dir: str, model_cls=None):
     """Load (model, params, tokenizer) from a Trainer output dir
-    (reference eval.py:32-95's registry, keyed by path here)."""
-    from musicnlp_tpu.models.transformer_xl import TransfoXL, TransfoXLConfig
+    (reference eval.py:32-95's registry, keyed by path here).
+
+    meta.json records the model family and the exact tokenizer identity
+    (pitch kind / scheme / trained unit table), so a midi-kind or
+    wordpiece-tokenized run reloads with the vocabulary it was trained with.
+    """
+    from musicnlp_tpu.trainer.train import rebuild_tokenizer
     from musicnlp_tpu.utils.checkpoint import load_meta
 
     meta = load_meta(os.path.join(out_dir, 'meta.json'))
+    if model_cls is None:
+        if meta.get('model_name') == 'reformer':
+            from musicnlp_tpu.models.reformer import Reformer as model_cls
+        else:
+            from musicnlp_tpu.models.transformer_xl import TransfoXL as model_cls
+    # resolve the matching config dataclass from the model module
+    import importlib
+    mod = importlib.import_module(model_cls.__module__)
+    cfg_cls = getattr(mod, f'{model_cls.__name__}Config')
     cfg_d = dict(meta['config'])
-    cfg_d.pop('model_size', None)
-    cfg = TransfoXLConfig(model_size=meta['config'].get('model_size', 'base'),
-                          **{k: v for k, v in cfg_d.items()
-                             if k in TransfoXLConfig.__dataclass_fields__
-                             and k != 'model_size'})
+    fields = cfg_cls.__dataclass_fields__
     # tuple fields arrive as lists from json
-    model = (model_cls or TransfoXL)(cfg)
+    kw = {}
+    for k, v in cfg_d.items():
+        if k in fields and k != 'model_size':
+            ann = str(fields[k].type)
+            kw[k] = tuple(v) if isinstance(v, list) and 'uple' in ann else v
+    cfg = cfg_cls(model_size=cfg_d.get('model_size', 'base'), **kw)
+    model = model_cls(cfg)
     template = model.init(jax.random.PRNGKey(0))
     params = restore_pytree(os.path.join(out_dir, 'trained'), template)
-    tokenizer = MusicTokenizer(pitch_kind='degree',
-                               model_max_length=cfg.max_length)
+    tokenizer = rebuild_tokenizer(meta, out_dir)
+    tokenizer.model_max_length = cfg.max_length
     return model, params, tokenizer
 
 

@@ -100,7 +100,14 @@ class TrainArgs:
 
 
 def make_optimizer(args: TrainArgs, total_steps: int):
-    """AdamW + warmup-cosine (or constant) schedule + global-norm clip."""
+    """AdamW + warmup-cosine (or constant) schedule + global-norm clip.
+
+    `total_steps` counts micro-batches; with gradient accumulation the inner
+    schedule only advances once per k micro-batches (optax.MultiSteps), so the
+    schedule is built over optimizer steps = total_steps // k.
+    """
+    if args.gradient_accumulation_steps > 1:
+        total_steps = max(1, total_steps // args.gradient_accumulation_steps)
     if args.lr_scheduler_type == 'cosine':
         warmup = max(1, int(total_steps * args.warmup_ratio))
         sched = optax.warmup_cosine_decay_schedule(
@@ -254,8 +261,11 @@ class Trainer:
                 params, opt_state, mets = self.train_step(params, opt_state, batch, r)
                 global_step += 1
                 if global_step % args.logging_steps == 0:
+                    # the schedule advances once per optimizer step (= every
+                    # gradient_accumulation_steps micro-batches)
+                    opt_step = global_step // args.gradient_accumulation_steps
                     rec = dict(step=global_step, epoch=epoch,
-                               lr=float(self.lr_sched(global_step)),
+                               lr=float(self.lr_sched(opt_step)),
                                **{k: float(v) for k, v in mets.items()})
                     self._log(rec)
                     logger.info(
@@ -284,7 +294,9 @@ class Trainer:
                 params, mesh_lib.param_specs(params), self.mesh)
         final = ckpt.save_pytree(os.path.join(self.out_dir, 'trained'), params)
         ckpt.save_meta(os.path.join(self.out_dir, 'meta.json'), dict(
+            model_name=_model_name(self.model),
             config=asdict_config(self.model.cfg), train_args=asdict(self.args),
+            tokenizer=describe_tokenizer(self.tokenizer, self.out_dir),
             best_eval_loss=best_loss, final_checkpoint=final))
         return dict(params=params, opt_state=opt_state, history=history,
                     best_eval_loss=best_loss)
@@ -308,18 +320,76 @@ class Trainer:
                 pad = bsz - n_real
                 batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
                          for k, v in batch.items()}
+                # padded rows must contribute nothing: all metrics reduce over
+                # label-valid positions, so -100 labels (and zero key weight)
+                # null them out exactly
+                batch['labels'] = batch['labels'].copy()
+                batch['labels'][n_real:] = PT_LOSS_PAD
+                batch['key_scores'] = batch['key_scores'].copy()
+                batch['key_scores'][n_real:] = 0.0
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             mets = self.eval_step(params, batch)
-            w = n_real / bsz   # weight out the duplicated padding rows
             for k in ('loss', 'ntp_acc', 'ikr'):
-                tot[k] = tot.get(k, 0.0) + w * float(mets[k])
-            n += w
+                tot[k] = tot.get(k, 0.0) + n_real * float(mets[k])
+            n += n_real
         return {k: v / max(n, 1e-9) for k, v in tot.items()}
 
 
 def asdict_config(cfg: TransfoXLConfig) -> Dict:
     from dataclasses import asdict as _as
     return _as(cfg)
+
+
+def _model_name(model) -> str:
+    return 'reformer' if type(model).__name__ == 'Reformer' else 'transf-xl'
+
+
+def describe_tokenizer(tokenizer: MusicTokenizer, out_dir: str) -> Dict:
+    """Persistable tokenizer identity (the reference's checkpoint registry
+    records model+tokenizer per run, reference musicnlp/trainer/eval.py:32-95).
+
+    Learned tokenizers (wordpiece/pairmerge) additionally write their trained
+    unit table into `out_dir/tokenizer.json` so the checkpoint directory is
+    self-contained; `rebuild_tokenizer` restores the exact tokenizer.
+    """
+    cls = type(tokenizer).__name__
+    d = dict(pitch_kind=tokenizer.pitch_kind,
+             precision=tokenizer.vocab.precision,
+             model_max_length=tokenizer.model_max_length,
+             vocab_size=tokenizer.vocab_size)
+    if cls == 'WordPieceMusicTokenizer':
+        d['scheme'] = 'wordpiece'
+    elif cls == 'PairMergeTokenizer':
+        d['scheme'] = 'pairmerge'
+    else:
+        d['scheme'] = 'vanilla'
+        return d
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, 'tokenizer.json'), 'w') as f:
+        json.dump(tokenizer.meta, f)
+    d['tokenizer_file'] = 'tokenizer.json'
+    return d
+
+
+def rebuild_tokenizer(meta: Dict, out_dir: str) -> MusicTokenizer:
+    """Inverse of `describe_tokenizer`: tokenizer identical to the trained one."""
+    tk = meta.get('tokenizer')
+    if tk is None:   # pre-identity checkpoints: the reference default
+        return MusicTokenizer(pitch_kind='degree')
+    scheme = tk['scheme']
+    if scheme == 'vanilla':
+        return MusicTokenizer(pitch_kind=tk['pitch_kind'],
+                              precision=tk.get('precision', 5),
+                              model_max_length=tk['model_max_length'])
+    path = os.path.join(out_dir, tk['tokenizer_file'])
+    if scheme == 'wordpiece':
+        from musicnlp_tpu.trainer.wordpiece_tokenizer import WordPieceMusicTokenizer
+        return WordPieceMusicTokenizer.from_file(
+            path, model_max_length=tk['model_max_length'])
+    assert scheme == 'pairmerge', scheme
+    from musicnlp_tpu.trainer.pair_merge_tokenizer import PairMergeTokenizer
+    return PairMergeTokenizer.from_file(
+        path, model_max_length=tk['model_max_length'])
 
 
 def get_model_n_tokenizer(

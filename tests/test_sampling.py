@@ -130,3 +130,32 @@ def test_generate_matches_stepwise_greedy(tiny_lm):
         if len(seq) == 12:
             break
     np.testing.assert_array_equal(np.asarray(ids)[0], np.array(seq)[:12])
+
+
+def test_beam_default_reorder_handles_axis1_state(tiny_lm):
+    """Without an explicit reorder_state, beam search must still reorder
+    TF-XL's DecodeState caches, which carry the batch on AXIS 1
+    ([L, B*W, M, N, H]) -- a direct caller omitting reorder_state used to get
+    never-reordered caches (silently wrong beams)."""
+    from musicnlp_tpu.models.transformer_xl import DecodeState
+    from musicnlp_tpu.ops.sampling import beam_generate
+    model, params = tiny_lm
+    prompt = jnp.array([[5, 9, 4], [7, 2, 8]], jnp.int32)
+    plen = jnp.array([3, 3], jnp.int32)
+
+    def reorder(st: DecodeState, idx):
+        return DecodeState(st.cache_k[:, idx], st.cache_v[:, idx],
+                           st.cache_pos, st.step)
+
+    kw = dict(prompt_ids=prompt, prompt_len=plen, max_length=24, eos_id=3,
+              pad_id=1, num_beams=4)
+    with_reorder = beam_generate(
+        lambda t, s: model.decode_step(params, t, s), model.init_decode_state,
+        reorder_state=reorder, **kw)
+    default = beam_generate(
+        lambda t, s: model.decode_step(params, t, s), model.init_decode_state,
+        **kw)
+    np.testing.assert_array_equal(np.asarray(with_reorder[0]),
+                                  np.asarray(default[0]))
+    np.testing.assert_array_equal(np.asarray(with_reorder[1]),
+                                  np.asarray(default[1]))

@@ -324,3 +324,65 @@ def test_trainer_with_proportional_mixing(setup, tmp_path):
         f is not None and not np.array_equal(f, s)
         for f, s in zip(first_idxs, mixed._sampled_idxs))
     assert changed
+
+
+def test_load_trained_tokenizer_identity(setup, tmp_path_factory):
+    """meta.json records model family + tokenizer identity; load_trained
+    rebuilds the exact (midi-kind) tokenizer instead of hardcoding 'degree'
+    (reference eval.py:32-95's registry records both)."""
+    from musicnlp_tpu.trainer.eval import load_trained
+    model, tok, train, evald = setup
+    assert tok.pitch_kind == 'midi'
+    out = str(tmp_path_factory.mktemp('identity'))
+    args = TrainArgs(batch_size=8, learning_rate=1e-3, weight_decay=0.0,
+                     lr_scheduler_type='constant', num_train_epochs=1,
+                     load_best_model_at_end=False)
+    Trainer(model, tok, train, evald, args=args, out_dir=out).train()
+    meta = json.load(open(os.path.join(out, 'meta.json')))
+    assert meta['model_name'] == 'transf-xl'
+    assert meta['tokenizer'] == dict(
+        pitch_kind='midi', precision=5, scheme='vanilla',
+        model_max_length=64, vocab_size=tok.vocab_size)
+    model2, params2, tok2 = load_trained(out)
+    assert type(tok2).__name__ == 'MusicTokenizer'
+    assert tok2.pitch_kind == 'midi' and tok2.vocab_size == tok.vocab_size
+    assert model2.cfg.vocab_size == model.cfg.vocab_size
+    # params restored to the same tree structure/values as the final save
+    saved = restore_pytree(os.path.join(out, 'trained'),
+                           jax.device_get(params2))
+    np.testing.assert_allclose(
+        np.asarray(saved['embed']['weight']),
+        np.asarray(params2['embed']['weight']))
+
+
+def test_eval_partial_batch_unbiased(setup, tmp_path_factory):
+    """The padded final eval batch must contribute nothing: evaluating 24
+    songs with bsz=32 (8 padded rows) == evaluating with bsz=24 exactly."""
+    model, tok, train, evald = setup
+    params = model.init(jax.random.PRNGKey(0))
+    args24 = TrainArgs(batch_size=8, eval_batch_size=24)
+    args32 = TrainArgs(batch_size=8, eval_batch_size=32)
+    out = str(tmp_path_factory.mktemp('evalpad'))
+    tr24 = Trainer(model, tok, train, evald, args=args24, out_dir=out)
+    tr32 = Trainer(model, tok, train, evald, args=args32, out_dir=out)
+    m24 = tr24.evaluate(params)
+    m32 = tr32.evaluate(params)
+    for k in ('loss', 'ntp_acc', 'ikr'):
+        np.testing.assert_allclose(m24[k], m32[k], rtol=1e-5, err_msg=k)
+
+
+def test_grad_accum_schedule_spans_optimizer_steps():
+    """With gradient accumulation the cosine schedule must complete over
+    optimizer steps (= micro-steps / k), not micro-steps."""
+    from musicnlp_tpu.trainer.train import make_optimizer
+    args = TrainArgs(learning_rate=1e-3, gradient_accumulation_steps=4,
+                     warmup_ratio=0.1, lr_scheduler_type='cosine')
+    total_micro = 400
+    _, sched = make_optimizer(args, total_micro)
+    n_opt = total_micro // 4
+    # warmup completes at 10% of optimizer steps and peak is reached
+    assert float(sched(n_opt // 10)) == pytest.approx(1e-3, rel=1e-6)
+    # decay completes by the final optimizer step
+    assert float(sched(n_opt)) == pytest.approx(0.0, abs=1e-9)
+    # without the fix the schedule would still be warming up / mid-decay here
+    assert float(sched(n_opt // 2)) < 1e-3
