@@ -81,6 +81,9 @@ def write_midi(score: Score, path: str):
         name = (part.name or f'Part {pi + 1}').encode('utf-8')
         evs.append((0, b'\xff\x03' + _vlq(len(name)) + name))
         evs.append((0, bytes([0xC0 | ch, part.midi_program])))
+        # pass 1: collect per-pitch segments in emission order
+        # seg = [on_tick, off_tick, midi, vel, tie, skip]
+        segs: List[list] = []
         for m in part.measures:
             base = m.offset
             streams = [m.elements] if not m.voices else m.voices
@@ -94,13 +97,36 @@ def write_midi(score: Score, path: str):
                         continue
                     pitches = e.pitches if isinstance(e, Chord) else [e.pitch]
                     vel = getattr(e, 'velocity', 90) or 90
+                    tie = getattr(e, 'tie', None)
                     for p in sorted(pitches, key=lambda p: p.midi):
-                        if isinstance(e, Note) and e.tie in ('stop', 'continue'):
-                            continue  # tied continuation: already sounded
-                        dur_off = off
-                        evs.append((on, bytes([0x90 | ch, p.midi, vel])))
-                        evs.append((dur_off, bytes([0x80 | ch, p.midi, 0])))
-        # merge tied continuations: extend prior note-off
+                        segs.append([on, off, p.midi, vel, tie, False])
+        # pass 2: merge tie chains -- a start/continue segment absorbs the
+        # same-pitch segment that begins exactly at its end and is marked
+        # stop/continue, extending the head's note-off through the chain.
+        # Orphan continuations (no preceding start) still sound on their own
+        # rather than being dropped.
+        by_pitch: Dict[int, List[list]] = {}
+        for s in segs:
+            by_pitch.setdefault(s[2], []).append(s)
+        for chain in by_pitch.values():
+            chain.sort(key=lambda s: s[0])
+            i = 0
+            while i < len(chain):
+                head = chain[i]
+                j = i + 1
+                while (head[4] in ('start', 'continue') and j < len(chain)
+                       and chain[j][0] == head[1]
+                       and chain[j][4] in ('stop', 'continue')):
+                    head[1] = chain[j][1]       # extend note-off
+                    head[4] = chain[j][4]       # chain continues past a 'continue'
+                    chain[j][5] = True          # absorbed: do not emit
+                    j += 1
+                i = j
+        for on, off, midi, vel, _, skip in segs:
+            if skip:
+                continue
+            evs.append((on, bytes([0x90 | ch, midi, vel])))
+            evs.append((off, bytes([0x80 | ch, midi, 0])))
         tracks.append(_track_chunk(evs))
 
     with open(path, 'wb') as f:

@@ -145,3 +145,46 @@ def test_midi_deterministic(tmp_path):
     write_midi(_simple_score(), p1)
     write_midi(_simple_score(), p2)
     assert open(p1, 'rb').read() == open(p2, 'rb').read()
+
+
+def test_midi_write_preserves_ties(tmp_path):
+    """write(read(x)) keeps cross-bar note durations byte-exactly: a Score
+    whose notes were split at barlines with ties (the read_midi layout) must
+    re-serialize to one note-on/note-off span, not a truncated head."""
+    p1 = str(tmp_path / 'a.mid')
+    p2 = str(tmp_path / 'b.mid')
+    m0 = Measure(number=0, time_sig=(4, 4), tempo=100, offset=0)
+    m0.append(Note(pitch=60, duration=9, offset=0))   # spans 3 bars
+    m0.append(Note(pitch=64, duration=2, offset=1))
+    part = Part(name='P', measures=[m0])
+    write_midi(Score(title='t', parts=[part]), p1)
+    back = read_midi(p1)
+    # sanity: the read side split the 9-QL note into start/continue/stop
+    ties = [e.tie for m in back.parts[0].measures for e in m.elements
+            if isinstance(e, Note) and e.pitch.midi == 60]
+    assert ties == ['start', 'continue', 'stop']
+    write_midi(back, p2)
+    assert open(p1, 'rb').read() == open(p2, 'rb').read()
+    again = read_midi(p2)
+    durs = {e.pitch.midi: [] for m in again.parts[0].measures
+            for e in m.elements if isinstance(e, Note)}
+    total = {}
+    for m in again.parts[0].measures:
+        for e in m.elements:
+            if isinstance(e, Note):
+                total[e.pitch.midi] = total.get(e.pitch.midi, 0) + e.dur
+    assert total == {60: 9, 64: 2}
+
+
+def test_midi_write_orphan_tie_still_sounds(tmp_path):
+    """A stop/continue segment with no preceding start (hand-built Score) must
+    still be emitted rather than silently dropped."""
+    path = str(tmp_path / 'o.mid')
+    m0 = Measure(number=0, time_sig=(4, 4), tempo=100, offset=0)
+    m0.append(Note(pitch=62, duration=2, offset=0, tie='stop'))
+    part = Part(name='P', measures=[m0])
+    write_midi(Score(title='t', parts=[part]), path)
+    back = read_midi(path)
+    notes = [e for m in back.parts[0].measures for e in m.elements
+             if isinstance(e, Note)]
+    assert [n.pitch.midi for n in notes] == [62] and notes[0].dur == 2
