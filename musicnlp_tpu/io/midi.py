@@ -235,7 +235,6 @@ def read_midi(path: str, merge_chords: bool = True) -> Score:
         active: Dict[Tuple[int, int], Tuple[int, int]] = {}  # (ch, pitch) -> (start, vel)
         notes: List[_RawNote] = []
         name, program = '', 0
-        channel_hist: Dict[int, int] = {}
         for tick, status, payload in trk:
             max_tick = max(max_tick, tick)
             if status == 0xFF:
@@ -252,7 +251,6 @@ def read_midi(path: str, merge_chords: bool = True) -> Score:
                     if tick > st:
                         notes.append(_RawNote(payload[0], st, tick, vel, ch))
                 active[key] = (tick, payload[1])
-                channel_hist[ch] = channel_hist.get(ch, 0) + 1
             elif kind == 0x80 or (kind == 0x90 and payload[1] == 0):
                 key = (ch, payload[0])
                 if key in active:
@@ -263,9 +261,18 @@ def read_midi(path: str, merge_chords: bool = True) -> Score:
             if max_tick > st:
                 notes.append(_RawNote(pitch, st, max_tick, vel, ch))
         if notes:
-            main_ch = max(channel_hist, key=channel_hist.get) if channel_hist else 0
-            notes.sort(key=lambda n: (n.start, n.pitch))
-            parts_notes.append((name, program, main_ch, notes))
+            # a single track can interleave several channels (format-0 SMFs
+            # put the whole song in one track): split per channel so drums
+            # (channel 10) don't flag melodic channels as percussion
+            by_ch: Dict[int, List[_RawNote]] = {}
+            for n in notes:
+                by_ch.setdefault(n.channel, []).append(n)
+            for ch in sorted(by_ch):
+                ch_notes = by_ch[ch]
+                ch_notes.sort(key=lambda n: (n.start, n.pitch))
+                nm = name if len(by_ch) == 1 else (f'{name} ch{ch + 1}' if name
+                                                   else f'ch{ch + 1}')
+                parts_notes.append((nm, program, ch, ch_notes))
 
     # bar grid from time-sig map
     end_ql = Fraction(max_tick, ppq)

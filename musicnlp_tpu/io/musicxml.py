@@ -174,9 +174,11 @@ def read_mxl(path: str) -> Score:
             rf = c.find('.//rootfile')
             if rf is not None:
                 inner = rf.get('full-path')
-        except KeyError:
+        except Exception:
+            # real-world MXLs can ship a malformed container.xml (music21
+            # writes raw '&' in full-path attributes); fall back to scanning
             pass
-        if inner is None:
+        if inner is None or inner not in z.namelist():
             cands = [n for n in z.namelist()
                      if n.endswith(('.xml', '.musicxml')) and not n.startswith('META-INF')]
             assert cands, 'no MusicXML payload in MXL'
@@ -260,6 +262,10 @@ def read_musicxml_bytes(data: bytes) -> Score:
             for el in me:
                 if el.tag == 'backup':
                     pos -= Fraction(int(_text(el.find('duration'))), divisions)
+                    # real-world files overshoot backup by a tick or two
+                    # (rounding in the producer); a bar can never start < 0
+                    if pos < 0:
+                        pos = Fraction(0)
                 elif el.tag == 'forward':
                     pos += Fraction(int(_text(el.find('duration'))), divisions)
                 elif el.tag == 'note':

@@ -210,20 +210,37 @@ class MusicConverter:
         """MusicElement -> IR notes; tuplet duration split evenly (reference :374-402)."""
         assert note.type in (ElmType.note, ElmType.tuplets)
         pitch, q_len = note.meta
+        if q_len is None:
+            # rare-duration token: the reference renders it as a zero-length
+            # note (m21 Duration(quarterLength=None), reference :392); the MIDI
+            # writer drops zero spans, matching that behavior
+            q_len = Fraction(0)
+        step = None
         if pitch_kind != 'midi':
             assert isinstance(pitch, tuple)
             if note.type == ElmType.note:
+                # step kind carries the spelled letter name: preserve it so the
+                # rendered score keeps the extractor's enharmonic spelling
+                # (reference extracted MXLs spell Ab4 as p_9/4_A, not G#4)
+                if pitch_kind == 'step' and isinstance(pitch[1], str):
+                    step = pitch[1]
                 pitch = pitch[0]
             else:
-                pitch = tuple(p[0] for p in pitch)
+                pitch = tuple(p for p in pitch)
         if note.type == ElmType.note:
             if pitch == MusicVocabulary.midi_rest_pitch_meta:
                 return [Rest(duration=q_len)]
+            if step is not None and 0 <= pitch < 128:
+                from musicnlp_tpu.io.score import _STEP2PC
+                alter = ((pitch - _STEP2PC[step] + 6) % 12) - 6
+                return [Note(pitch=Pitch(midi=pitch, step=step, alter=alter),
+                             duration=q_len)]
             return [Note(pitch=Pitch(midi=pitch), duration=q_len)]
         dur_ea = Fraction(q_len) / len(pitch)
         return [
             n for p in pitch
-            for n in MusicConverter.mus_elm2note(MusicElement(ElmType.note, (p, dur_ea)))
+            for n in MusicConverter.mus_elm2note(
+                MusicElement(ElmType.note, (p, dur_ea)), pitch_kind=pitch_kind)
         ]
 
     @staticmethod

@@ -86,6 +86,9 @@ def _note2clean_note(note: ExtNote, q_len: Dur = None) -> ExtNote:
     q = note.dur if q_len is None else Fraction(q_len)
     if isinstance(note, Rest):
         return Rest(duration=q, offset=note.offset)
+    if isinstance(note, Chord):
+        return Chord(pitches=list(note.pitches), duration=q, offset=note.offset,
+                     velocity=getattr(note, 'velocity', 90))
     return Note(pitch=note.pitch, duration=q, offset=note.offset,
                 velocity=getattr(note, 'velocity', 90))
 
@@ -304,11 +307,20 @@ class MusicExtractor:
             if len(tup) != n_tup:
                 self.log_warn(warn_name=WarnLog.InvTupSz, bar_num=number,
                               n_expect=n_tup, n_got=len(tup))
-        # enforce no overlap within each group: re-pack back-to-back by durations
+        # enforce that each group's members tile its span back-to-back: both
+        # overlaps AND internal gaps (members not adjacent -- seen in the
+        # reference's own sample MIDIs) make note2dur(tuple) inconsistent with
+        # the span and would fail bar validity downstream
         for i, tup in enumerate(lst):
-            if notes_overlapping(tup):
+            overlapping = notes_overlapping(tup)
+            span = get_end_qlen(tup) - get_offset(tup)
+            gappy = (not overlapping
+                     and sum((Fraction(n.dur) for n in tup), Fraction(0)) != span)
+            if overlapping or gappy:
                 ranges = _filled_ranges(tup)
-                self.log_warn(warn_name=WarnLog.TupNoteOvlOut, bar_num=number,
+                self.log_warn(warn_name=(WarnLog.TupNoteOvlOut if overlapping
+                                         else WarnLog.TupNoteGap),
+                              bar_num=number, time_sig=time_sig,
                               filled_ranges=ranges)
                 total_dur = sum((n.dur for n in tup), Fraction(0))
                 if (total_dur / Fraction(4, 2 ** self.prec)).denominator != 1:
@@ -400,65 +412,76 @@ class MusicExtractor:
 
     def get_notes_out(self, groups: Dict, number: int, keep: str = 'high',
                       pre_sort: bool = False) -> List[ExtNote]:
-        """Skyline selection with recursive restart on truncation
-        (reference get_notes_out :743-831)."""
+        """Skyline selection with restart on truncation
+        (reference get_notes_out :743-831).
+
+        The reference restarts via tail recursion; dense real-world bars can
+        need >1000 restarts (found on the reference's own sample MIDIs), so
+        the restart is a loop here.  Each restart removes or shrinks a note,
+        so the loop terminates.
+        """
         is_high = keep == 'high'
-        if pre_sort:
-            MusicExtractor.sort_groups(groups, reverse=not is_high)
-        pre_sort = False
-        ns_out: List[ExtNote] = []
-        last_end: Dur = Fraction(0)
-        for offset in sorted(groups.keys()):
-            notes_ = groups[offset]
-            if not notes_:
-                del groups[offset]
-                continue
-            nt = notes_[-1]  # extreme-pitch note at this offset
-            nt_end = get_end_qlen(nt)
-            if float(last_end) - float(offset) > self.eps:
-                note_last = ns_out[-1]
-                pch_last, pch_curr = note2pitch(note_last), note2pitch(nt)
-                later_better = pch_curr > pch_last if is_high else pch_curr < pch_last
-                if later_better:  # truncate last added note
-                    if isinstance(note_last, tuple):  # remove whole tuplet, restart
-                        del groups[get_offset(note_last)][-1]
-                        self.log_warn(warn_name=WarnLog.HighPchOvlTup, bar_num=number)
-                        return self.get_notes_out(groups, number, keep=keep, pre_sort=pre_sort)
-                    self.log_warn(warn_name=WarnLog.HighPchOvl, bar_num=number)
-                    nt_ = nt[0] if isinstance(nt, tuple) else nt
-                    new_dur = nt_.offset - note_last.offset
-                    note_last.dur = Fraction(new_dur)
-                    pre_sort = True
-                    assert note_last.dur >= 0
-                    if note_last.dur == 0:  # was itself a makeup note: drop it
-                        dropped = ns_out.pop()
-                        assert dropped.offset == offset
-                        assert groups[offset][-1] is dropped or \
-                            MusicExtractor._ext_notes_eq(groups[offset][-1], dropped)
-                        del groups[offset][-1]
-                        self.log_warn(warn_name=WarnLog.LowPchMakeupRmv, bar_num=number)
+        while True:
+            if pre_sort:
+                MusicExtractor.sort_groups(groups, reverse=not is_high)
+            pre_sort = False
+            restart = False
+            ns_out: List[ExtNote] = []
+            last_end: Dur = Fraction(0)
+            for offset in sorted(groups.keys()):
+                notes_ = groups[offset]
+                if not notes_:
+                    del groups[offset]
+                    continue
+                nt = notes_[-1]  # extreme-pitch note at this offset
+                nt_end = get_end_qlen(nt)
+                if ns_out and float(last_end) - float(offset) > self.eps:
+                    note_last = ns_out[-1]
+                    pch_last, pch_curr = note2pitch(note_last), note2pitch(nt)
+                    later_better = pch_curr > pch_last if is_high else pch_curr < pch_last
+                    if later_better:  # truncate last added note
+                        if isinstance(note_last, tuple):  # remove whole tuplet, restart
+                            del groups[get_offset(note_last)][-1]
+                            self.log_warn(warn_name=WarnLog.HighPchOvlTup, bar_num=number)
+                            restart = True
+                            break
+                        self.log_warn(warn_name=WarnLog.HighPchOvl, bar_num=number)
+                        nt_ = nt[0] if isinstance(nt, tuple) else nt
+                        new_dur = nt_.offset - note_last.offset
+                        note_last.dur = Fraction(new_dur)
+                        pre_sort = True
+                        assert note_last.dur >= 0
+                        if note_last.dur == 0:  # was itself a makeup note: drop it
+                            dropped = ns_out.pop()
+                            assert dropped.offset == offset
+                            assert groups[offset][-1] is dropped or \
+                                MusicExtractor._ext_notes_eq(groups[offset][-1], dropped)
+                            del groups[offset][-1]
+                            self.log_warn(warn_name=WarnLog.LowPchMakeupRmv, bar_num=number)
+                        ns_out.append(nt)
+                        last_end = nt_end
+                    elif float(nt_end) - float(last_end) > self.eps:
+                        # lower pitch but ends later: truncate current, re-insert at last_end
+                        if not isinstance(nt, tuple):
+                            del groups[offset][-1]
+                            nt_ = _note2clean_note(nt)
+                            nt_.offset = Fraction(last_end)
+                            nt_.dur = Fraction(nt_end - last_end)
+                            assert nt_.dur > 0
+                            keys = list(groups.keys())
+                            closest = min(keys, key=lambda x: abs(float(x) - float(last_end)))
+                            tgt = closest if abs(float(last_end) - float(closest)) < self.eps else last_end
+                            groups.setdefault(tgt, []).append(nt_)
+                            MusicExtractor.sort_groups(groups, reverse=not is_high)
+                            self.log_warn(warn_name=WarnLog.LowPchMakeup, bar_num=number)
+                            restart = True
+                            break
+                    # else: fully covered by prior note, skip
+                else:
                     ns_out.append(nt)
                     last_end = nt_end
-                elif float(nt_end) - float(last_end) > self.eps:
-                    # lower pitch but ends later: truncate current, re-insert at last_end
-                    if not isinstance(nt, tuple):
-                        del groups[offset][-1]
-                        nt_ = _note2clean_note(nt)
-                        nt_.offset = Fraction(last_end)
-                        nt_.dur = Fraction(nt_end - last_end)
-                        assert nt_.dur > 0
-                        keys = list(groups.keys())
-                        closest = min(keys, key=lambda x: abs(float(x) - float(last_end)))
-                        tgt = closest if abs(float(last_end) - float(closest)) < self.eps else last_end
-                        groups.setdefault(tgt, []).append(nt_)
-                        MusicExtractor.sort_groups(groups, reverse=not is_high)
-                        self.log_warn(warn_name=WarnLog.LowPchMakeup, bar_num=number)
-                        return self.get_notes_out(groups, number, keep=keep, pre_sort=pre_sort)
-                # else: fully covered by prior note, skip
-            else:
-                ns_out.append(nt)
-                last_end = nt_end
-        return ns_out
+            if not restart:
+                return ns_out
 
     # ------------------------------------------------------------------ quantization
     def notes2quantized_notes(self, notes: List[ExtNote], time_sig: TsTup,
