@@ -177,8 +177,9 @@ def measure_decode_ours(size: str, gen_len: int, bsz: int) -> dict:
         ids, _ = run(params, prompt, plen, jax.random.PRNGKey(3 + i))
         int(ids[0, 0])
     dt = (time.perf_counter() - t0) / reps
-    return dict(tokens_per_sec=bsz * gen_len / dt,
-                p50_song_latency_s=dt)   # whole batch decodes as one program
+    # the whole batch decodes as ONE program, so dt is the latency of a full
+    # batch of songs (every song in it finishes together), not a per-song p50
+    return dict(tokens_per_sec=bsz * gen_len / dt, batch_latency_s=dt)
 
 
 def measure_decode_baseline(size: str, gen_len: int) -> float:
@@ -216,6 +217,148 @@ def measure_decode_baseline(size: str, gen_len: int) -> float:
             tok = out.prediction_scores[:, -1].argmax(-1, keepdim=True)
         dt = time.perf_counter() - t0
     return n / dt
+
+
+def measure_reformer_train(size: str, seq: int, bsz: int, steps: int) -> float:
+    """Our Reformer (22-04 recipe shape) jitted train step, tokens/sec/chip."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from musicnlp_tpu.models.reformer import Reformer, ReformerConfig
+
+    cfg = ReformerConfig.from_size(size, vocab_size=422, max_length=seq,
+                                   dtype='bfloat16')
+    model = Reformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(3e-4, weight_decay=1e-2))
+    opt_state = jax.jit(tx.init)(params)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (bsz, seq), 0,
+                             cfg.vocab_size, dtype=jnp.int32)
+    labels = jnp.where(ids % 13 == 0, -100, ids)
+
+    @jax.jit
+    def run_steps(params, opt_state, ids, labels, rng):
+        def body(carry, r):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                loss, _ = model.loss(p, ids, labels, rng=r,
+                                     deterministic=False)
+                return loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jax.random.split(rng, steps))
+        return params, opt_state, losses[-1]
+
+    params, opt_state, loss = run_steps(params, opt_state, ids, labels,
+                                        jax.random.PRNGKey(2))
+    float(loss)
+    t0 = time.perf_counter()
+    params, opt_state, loss = run_steps(params, opt_state, ids, labels,
+                                        jax.random.PRNGKey(3))
+    float(loss)
+    return bsz * seq * steps / (time.perf_counter() - t0)
+
+
+def measure_reformer_train_baseline(size: str, seq: int) -> float:
+    """HF Reformer on CPU torch, reference preset config; tokens/sec."""
+    import torch
+    from transformers import ReformerConfig as HFConfig
+    from transformers import ReformerModelWithLMHead
+
+    presets = {  # reference models/reformer.py:15-55
+        'debug': dict(d=128, nh=8, pairs=3, axial=(8, 8), seq=64),
+        'tiny': dict(d=256, nh=8, pairs=3, axial=(32, 32), seq=1024),
+        'small': dict(d=512, nh=8, pairs=3, axial=(32, 64), seq=2048),
+        'base': dict(d=768, nh=12, pairs=6, axial=(32, 64), seq=2048),
+        'large': dict(d=1024, nh=16, pairs=12, axial=(32, 64), seq=2048),
+    }
+    p = presets[size]
+    d = p['d']
+    n1 = seq // 64 if seq % 64 == 0 else p['axial'][0]
+    cfg = HFConfig(
+        vocab_size=422, hidden_size=d, num_attention_heads=p['nh'],
+        attention_head_size=d // p['nh'], feed_forward_size=d * 4,
+        attn_layers=['local', 'lsh'] * p['pairs'],
+        axial_pos_shape=(n1, 64), axial_pos_embds_dim=(d // 4, 3 * d // 4),
+        max_position_embeddings=seq, num_hashes=2 if size in ('base', 'large') else 1,
+        is_decoder=True)
+    model = ReformerModelWithLMHead(cfg)
+    model.train()
+    opt = torch.optim.AdamW(model.parameters(), lr=3e-4, weight_decay=1e-2)
+    bsz, steps = 2, 2
+    ids = torch.randint(0, 422, (bsz, seq))
+    out = model(input_ids=ids, labels=ids)   # warmup
+    out.loss.backward()
+    opt.step(); opt.zero_grad()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = model(input_ids=ids, labels=ids)
+        out.loss.backward()
+        opt.step(); opt.zero_grad()
+    return bsz * seq * steps / (time.perf_counter() - t0)
+
+
+def measure_reformer_decode(size: str, gen_len: int, bsz: int) -> dict:
+    """Incremental (bucket-cached) Reformer decode vs the exact-but-quadratic
+    full-prefix re-forward oracle it replaced (round-1 capability gap)."""
+    import jax
+    import jax.numpy as jnp
+
+    from musicnlp_tpu.models.reformer import Reformer, ReformerConfig
+    from musicnlp_tpu.ops.sampling import SampleConfig, generate_scan
+
+    cfg = ReformerConfig.from_size(size, vocab_size=422, max_length=gen_len,
+                                   dtype='bfloat16')
+    model = Reformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (bsz, 4), 8,
+                                cfg.vocab_size, dtype=jnp.int32)
+    plen = jnp.full((bsz,), 4, jnp.int32)
+    scfg = SampleConfig(strategy='sample', top_k=8)
+
+    @jax.jit
+    def run(params, prompt, plen, rng):
+        return generate_scan(
+            lambda t, s: model.decode_step(params, t, s),
+            model.init_decode_state(bsz), prompt, plen, max_length=gen_len,
+            eos_id=3, pad_id=1, sample_cfg=scfg, vocab_size=cfg.vocab_size,
+            rng=rng)
+
+    ids, _ = run(params, prompt, plen, jax.random.PRNGKey(2))
+    int(ids[0, 0])
+    t0 = time.perf_counter()
+    ids, _ = run(params, prompt, plen, jax.random.PRNGKey(3))
+    int(ids[0, 0])
+    dt = time.perf_counter() - t0
+    inc_tps = bsz * gen_len / dt
+
+    # exact oracle: constant full-prefix re-forward cost per token; measure a
+    # few steps inside one scan (per-token cost is step-independent)
+    n_probe = 4
+
+    @jax.jit
+    def run_exact(params, toks):
+        def body(st, tok):
+            logits, st = model.decode_step_exact(params, tok, st)
+            return st, logits[:, 0]
+        st = model.init_decode_state_exact(bsz)
+        _, ls = jax.lax.scan(body, st, toks)
+        return ls[-1].sum()
+    toks = jax.random.randint(jax.random.PRNGKey(4), (n_probe, bsz), 8,
+                              cfg.vocab_size, dtype=jnp.int32)
+    float(run_exact(params, toks))  # compile+warm
+    t0 = time.perf_counter()
+    float(run_exact(params, toks))
+    dt_exact = time.perf_counter() - t0
+    exact_tps = bsz * n_probe / dt_exact
+    return dict(tokens_per_sec=inc_tps, batch_latency_s=dt,
+                exact_oracle_tokens_per_sec=exact_tps,
+                speedup_vs_exact=inc_tps / exact_tps)
 
 
 def measure_extraction(n_song: int = 64) -> dict:
@@ -267,6 +410,42 @@ def measure_extraction(n_song: int = 64) -> dict:
 def main():
     size = os.environ.get('BENCH_SIZE', 'base')
     mode = os.environ.get('BENCH_MODE', 'train')
+    model_kind = os.environ.get('BENCH_MODEL', 'tfxl')
+    if model_kind == 'reformer':
+        if mode == 'decode':
+            gen_len = int(os.environ.get('BENCH_SEQ', 2048))
+            bsz = int(os.environ.get('BENCH_BSZ', 32))
+            r = measure_reformer_decode(size, gen_len, bsz)
+            print(json.dumps(dict(
+                metric=f'reformer_{size}_decode_tokens_per_sec_per_chip',
+                value=round(r['tokens_per_sec'], 1), unit='tokens/sec/chip',
+                vs_baseline=round(r['speedup_vs_exact'], 1),
+                baseline='round-1 exact full-prefix re-forward decoder',
+                exact_oracle_tokens_per_sec=round(
+                    r['exact_oracle_tokens_per_sec'], 2),
+                batch_latency_s=round(r['batch_latency_s'], 3))))
+            return
+        seq = int(os.environ.get('BENCH_SEQ', 2048))
+        bsz = int(os.environ.get('BENCH_BSZ', 16))
+        steps = int(os.environ.get('BENCH_STEPS', 10))
+        key = f'reformer-{size}-seq{seq}'
+        cache = {}
+        if os.path.exists(BASELINE_CACHE):
+            with open(BASELINE_CACHE) as f:
+                cache = json.load(f)
+        if key not in cache or os.environ.get('BENCH_REMEASURE_BASELINE'):
+            cache[key] = dict(
+                tokens_per_sec=measure_reformer_train_baseline(size, seq),
+                what='HF ReformerModelWithLMHead fwd+bwd+AdamW, torch CPU, bsz 2',
+                measured_at=time.strftime('%Y-%m-%d %H:%M:%S'))
+            with open(BASELINE_CACHE, 'w') as f:
+                json.dump(cache, f, indent=2)
+        ours = measure_reformer_train(size, seq, bsz, steps)
+        print(json.dumps(dict(
+            metric=f'reformer_{size}_train_tokens_per_sec_per_chip',
+            value=round(ours, 1), unit='tokens/sec/chip',
+            vs_baseline=round(ours / cache[key]['tokens_per_sec'], 2))))
+        return
     if mode == 'extract':
         r = measure_extraction()
         print(json.dumps(dict(

@@ -4,8 +4,14 @@ Capability-parity rebuild of the reference's HF wrapper
 (reference musicnlp/models/reformer.py:13-127): same size presets
 (alternating local/LSH attention layers x3-12, axial position embeddings with
 axial_pos_shape whose product = max_position_embeddings, axial dims
-(d/4, 3d/4), num_hashes=2 for base/large, shared-QK attention, feed-forward
-4x), untied LM head, causal decoder.
+(d/4, 3d/4), num_hashes=2 for base/large, shared-QK attention in LSH layers
+with a separate key projection in local layers -- HF's layout -- and
+feed-forward 4x), untied LM head, causal decoder.  Decode is incremental via
+per-layer caches (ReformerDecodeState): local layers keep a lossless 2*chunk
+KV ring; LSH layers cache keys/values/bucket-ids and a new query attends over
+same-bucket history + the current chunk (HF's past_buckets_states scheme),
+exact within the first chunk and O(1) forwards per token thereafter; the
+full-prefix re-forward survives as `decode_step_exact`, the tested oracle.
 
 TPU-native substitutions (same capability, better mapping to XLA):
   * reversible residuals -> optional `jax.checkpoint` rematerialization
@@ -35,13 +41,31 @@ __all__ = ['ReformerConfig', 'Reformer', 'ReformerDecodeState']
 
 
 class ReformerDecodeState(NamedTuple):
-    """Decode state: the token buffer itself (exact full-prefix re-forward).
+    """Incremental decode state (the HF `past_buckets_states` scheme,
+    reference musicnlp/models/reformer.py:90-127 decodes through HF generate
+    which caches per-layer states + bucket assignments).
 
-    LSH bucketing makes an exact incremental cache impossible (chunk
-    membership of past keys shifts as the sequence grows), so decoding
-    re-forwards the padded prefix each step -- exact, O(T) forwards per song.
-    A bucket-cached approximate decoder is a known follow-up.
+    Local layers keep a 2*chunk ring of projected K/V (their attention window
+    is exactly own-chunk + one look-back chunk, so the ring is lossless).
+    LSH layers cache normalized keys, values, and the bucket assignment of
+    every emitted position under the layer's fixed rotations; a new query
+    attends causally over cached keys that share its bucket in any hash round,
+    plus the current position-chunk in full (HF's unprocessed-chunk rule).
+    Exact vs the training forward while t < chunk; a bounded softmax-estimator
+    approximation beyond (same as HF).  All leaves carry batch on AXIS 1.
     """
+    local_k: jnp.ndarray      # [n_local, B, N, 2c, H]
+    local_v: jnp.ndarray      # [n_local, B, N, 2c, H]
+    lsh_k: jnp.ndarray        # [n_lsh, B, N, L, H] normalized keys
+    lsh_v: jnp.ndarray        # [n_lsh, B, N, L, H]
+    lsh_buckets: jnp.ndarray  # [n_lsh, B, N, R, L] int32, -1 = unwritten
+    step: jnp.ndarray         # int32 scalar: next write position
+
+
+class ReformerExactDecodeState(NamedTuple):
+    """Oracle decode state: the token buffer itself; each step re-forwards the
+    whole padded prefix.  Exact but O(T) forwards per song -- kept as the
+    reference implementation the incremental decoder is tested against."""
     buf: jnp.ndarray    # int32 [B, L]
     step: jnp.ndarray   # int32 scalar: next write position
 
@@ -151,7 +175,7 @@ class Reformer:
         layers = []
         for i, kind in enumerate(cfg.attn_layers):
             k = keys[4 + i]
-            ka, kv, ko, kf1, kf2 = jax.random.split(k, 5)
+            ka, kv, ko, kf1, kf2, kk = jax.random.split(k, 6)
             attn = dict(
                 qk=jax.random.normal(ka, (cfg.d_model, cfg.n_head, cfg.d_head),
                                      jnp.float32) * cfg.init_std,
@@ -161,6 +185,13 @@ class Reformer:
                                     jnp.float32) * cfg.init_std,
                 ln=layer_norm_init(cfg.d_model),
             )
+            if kind == 'local':
+                # HF-Reformer parity: only LSH layers share QK; local layers
+                # have a separate key projection (the round-1 shared-QK local
+                # design was a capacity deviation flagged by review)
+                attn['k'] = jax.random.normal(
+                    kk, (cfg.d_model, cfg.n_head, cfg.d_head),
+                    jnp.float32) * cfg.init_std
             ffn = dict(
                 w1=dense_init(kf1, cfg.d_model, cfg.d_ff, std=cfg.init_std),
                 w2=dense_init(kf2, cfg.d_ff, cfg.d_model, std=cfg.init_std),
@@ -237,7 +268,9 @@ class Reformer:
             v = jnp.einsum('btd,dnh->bnth', x, p['v'].astype(dtype),
                            preferred_element_type=jnp.float32).astype(dtype)
             if kind == 'local':
-                ctx = local_attention(qk, qk, v, chunk=cfg.local_chunk,
+                k = jnp.einsum('btd,dnh->bnth', x, p['k'].astype(dtype),
+                               preferred_element_type=jnp.float32).astype(dtype)
+                ctx = local_attention(qk, k, v, chunk=cfg.local_chunk,
                                       pad_mask=pad_mask)
             else:
                 T = h.shape[1]
@@ -258,15 +291,148 @@ class Reformer:
         return ff
 
     # ---------------------------------------------------------------- decode
+    def _n_kind(self) -> Tuple[int, int]:
+        kinds = self.cfg.attn_layers
+        return kinds.count('local'), kinds.count('lsh')
+
     def init_decode_state(self, batch_size: int) -> ReformerDecodeState:
+        cfg = self.cfg
+        n_local, n_lsh = self._n_kind()
+        B, N, H, L = batch_size, cfg.n_head, cfg.d_head, cfg.max_length
+        dt = cfg.compute_dtype
         return ReformerDecodeState(
-            buf=jnp.zeros((batch_size, self.cfg.max_length), jnp.int32),
+            local_k=jnp.zeros((n_local, B, N, 2 * cfg.local_chunk, H), dt),
+            local_v=jnp.zeros((n_local, B, N, 2 * cfg.local_chunk, H), dt),
+            lsh_k=jnp.zeros((n_lsh, B, N, L, H), dt),
+            lsh_v=jnp.zeros((n_lsh, B, N, L, H), dt),
+            lsh_buckets=jnp.full((n_lsh, B, N, cfg.n_hashes, L), -1, jnp.int32),
             step=jnp.zeros((), jnp.int32))
+
+    def reorder_decode_state(self, state: ReformerDecodeState, idx):
+        """Gather the batch axis (axis 1 of every cache leaf) -- for beam."""
+        return ReformerDecodeState(
+            state.local_k[:, idx], state.local_v[:, idx],
+            state.lsh_k[:, idx], state.lsh_v[:, idx],
+            state.lsh_buckets[:, idx], state.step)
+
+    def _pos_emb_row(self, params: Params, t, dtype) -> jnp.ndarray:
+        cfg = self.cfg
+        n1, n2 = cfg.axial_pos_shape
+        a1 = params['axial1'][t // n2, 0]                     # [d1]
+        a2 = params['axial2'][0, t % n2]                      # [d2]
+        return jnp.concatenate([a1, a2], axis=-1).astype(dtype)
 
     def decode_step(self, params: Params, token_ids: jnp.ndarray,
                     state: ReformerDecodeState):
-        """Same duck-typed API as TransfoXL.decode_step, usable by
-        ops.sampling.generate_scan / MusicGenerator."""
+        """One incremental decode step: O(window + cache-scan) per layer, no
+        prefix re-forward.  Same duck-typed API as TransfoXL.decode_step,
+        usable by ops.sampling.generate_scan / MusicGenerator."""
+        cfg = self.cfg
+        dtype = cfg.compute_dtype
+        B = token_ids.shape[0]
+        t = state.step
+        L = cfg.max_length
+        scale = 1.0 / (cfg.d_head ** 0.5)
+        from musicnlp_tpu.ops.chunked_attention import NEG_INF, SELF_BIAS
+
+        h = params['embed']['weight'].astype(dtype)[token_ids]
+        h = h + self._pos_emb_row(params, t, dtype)[None]
+
+        lk, lv = state.local_k, state.local_v
+        sk, sv, sb = state.lsh_k, state.lsh_v, state.lsh_buckets
+        il = ish = 0
+        for li, layer in enumerate(params['layers']):
+            p = layer['attn']
+            x = layer_norm(p['ln'], h)                        # [B, D]
+            q = jnp.einsum('bd,dnh->bnh', x, p['qk'].astype(dtype),
+                           preferred_element_type=jnp.float32).astype(dtype)
+            v = jnp.einsum('bd,dnh->bnh', x, p['v'].astype(dtype),
+                           preferred_element_type=jnp.float32).astype(dtype)
+            if cfg.attn_layers[li] == 'local':
+                k = jnp.einsum('bd,dnh->bnh', x, p['k'].astype(dtype),
+                               preferred_element_type=jnp.float32).astype(dtype)
+                c = cfg.local_chunk
+                W = 2 * c
+                slot = t % W
+                lk = lk.at[il, :, :, slot].set(k)
+                lv = lv.at[il, :, :, slot].set(v)
+                slots = jnp.arange(W)
+                # position currently held by each ring slot
+                pos_slot = t - ((t - slots) % W)
+                valid = (pos_slot >= (t // c - 1) * c) & (pos_slot >= 0)
+                score = jnp.einsum('bnh,bnwh->bnw', q, lk[il],
+                                   preferred_element_type=jnp.float32) * scale
+                score = jnp.where(valid[None, None, :], score, NEG_INF)
+                probs = jax.nn.softmax(score, axis=-1)
+                ctx = jnp.einsum('bnw,bnwh->bnh', probs.astype(dtype), lv[il],
+                                 preferred_element_type=jnp.float32).astype(dtype)
+                il += 1
+            else:
+                qf = q.astype(jnp.float32)
+                kn = (qf / jnp.maximum(
+                    jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-6)
+                      ).astype(dtype)
+                sk = sk.at[ish, :, :, t].set(kn)
+                sv = sv.at[ish, :, :, t].set(v)
+                nb = cfg.n_buckets or _auto_buckets(L, cfg.lsh_chunk)
+                rot = jax.random.fold_in(jax.random.PRNGKey(cfg.lsh_seed), li)
+                rots = jax.random.normal(
+                    rot, (cfg.n_hashes, cfg.d_head, nb // 2), jnp.float32)
+                proj = jnp.einsum('bnh,rhm->rbnm', qf, rots)
+                b_t = jnp.argmax(jnp.concatenate([proj, -proj], axis=-1),
+                                 axis=-1).astype(jnp.int32)   # [R, B, N]
+                for r in range(cfg.n_hashes):
+                    sb = sb.at[ish, :, :, r, t].set(b_t[r])
+                pos = jnp.arange(L)
+                causal = pos <= t
+                cur_chunk = pos >= (t // cfg.lsh_chunk) * cfg.lsh_chunk
+                self_m = pos == t
+                score_all = jnp.einsum(
+                    'bnh,bnlh->bnl', q, sk[ish],
+                    preferred_element_type=jnp.float32) * scale
+                score_all = jnp.where(self_m[None, None], score_all + SELF_BIAS,
+                                      score_all)
+                outs, lses = [], []
+                for r in range(cfg.n_hashes):
+                    match = sb[ish, :, :, r] == b_t[r][..., None]  # [B, N, L]
+                    mask = causal[None, None] & (match | cur_chunk[None, None])
+                    sc = jnp.where(mask, score_all, NEG_INF)
+                    lse = jax.nn.logsumexp(sc, axis=-1)            # [B, N]
+                    pr = jnp.exp(sc - lse[..., None]).astype(dtype)
+                    outs.append(jnp.einsum(
+                        'bnl,bnlh->bnh', pr, sv[ish],
+                        preferred_element_type=jnp.float32))
+                    lses.append(lse)
+                if cfg.n_hashes == 1:
+                    ctx = outs[0].astype(dtype)
+                else:
+                    o = jnp.stack(outs)
+                    w = jax.nn.softmax(jnp.stack(lses), axis=0)[..., None]
+                    ctx = jnp.sum(o * w, axis=0).astype(dtype)
+                ish += 1
+            a = jnp.einsum('bnh,nhd->bd', ctx, p['o'].astype(dtype),
+                           preferred_element_type=jnp.float32).astype(dtype)
+            h = h + a
+            fp = layer['ffn']
+            x2 = layer_norm(fp['ln'], h)
+            f = dense(fp['w2'], jax.nn.relu(dense(fp['w1'], x2)))
+            h = h + f
+
+        h = layer_norm(params['ln_f'], h)
+        logits = jnp.dot(h, params['lm_head']['w'].astype(dtype),
+                         preferred_element_type=jnp.float32)
+        logits = logits + params['lm_head']['b'].astype(jnp.float32)
+        return logits, ReformerDecodeState(lk, lv, sk, sv, sb, t + 1)
+
+    # ------------------------------------------------------ exact decode oracle
+    def init_decode_state_exact(self, batch_size: int) -> ReformerExactDecodeState:
+        return ReformerExactDecodeState(
+            buf=jnp.zeros((batch_size, self.cfg.max_length), jnp.int32),
+            step=jnp.zeros((), jnp.int32))
+
+    def decode_step_exact(self, params: Params, token_ids: jnp.ndarray,
+                          state: ReformerExactDecodeState):
+        """Full-prefix re-forward per step: the exactness oracle."""
         buf = jax.lax.dynamic_update_slice(
             state.buf, token_ids[:, None], (0, state.step))
         pad_mask = (jnp.arange(self.cfg.max_length) <= state.step)[None, :]
@@ -275,7 +441,7 @@ class Reformer:
         cur = jnp.take_along_axis(
             logits, state.step[None, None, None].repeat(buf.shape[0], 0),
             axis=1)[:, 0]
-        return cur, ReformerDecodeState(buf=buf, step=state.step + 1)
+        return cur, ReformerExactDecodeState(buf=buf, step=state.step + 1)
 
     # ------------------------------------------------------------ train loss
     def loss(self, params: Params, input_ids: jnp.ndarray, labels: jnp.ndarray,

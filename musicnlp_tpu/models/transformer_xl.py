@@ -31,7 +31,9 @@ from musicnlp_tpu.ops.attention import rel_attn, rel_attn_decode_step, rel_attn_
 from musicnlp_tpu.ops.layers import (
     Params, dense, embedding_init, ffn, ffn_init, dropout,
 )
-from musicnlp_tpu.ops.losses import PT_LOSS_PAD, ntp_accuracy, shifted_ce_loss
+from musicnlp_tpu.ops.losses import (
+    PT_LOSS_PAD, chunked_shifted_ce_loss, ntp_accuracy, shifted_ce_loss,
+)
 
 __all__ = ['TransfoXLConfig', 'TransfoXL', 'DecodeState']
 
@@ -63,6 +65,12 @@ class TransfoXLConfig:
     # residuals (~D/H x the usual activation size) at the cost of one extra
     # forward kernel per layer -- enables large-batch training
     remat_attn: bool = False
+    # large-vocab head: compute the training CE in vocab tiles of this many
+    # columns so the [B, T, V] logits tensor is never materialized (exact;
+    # replaces the reference's adaptive-softmax memory workaround for the
+    # 32k-262k learned-tokenizer tiers, reference transformer_xl.py:56-66).
+    # None = full-logits path (right for the base <=32k vocabs).
+    head_chunk: Optional[int] = None
 
     presets = {
         'debug': dict(d_model=128, n_head=8, n_layer=4),
@@ -154,6 +162,19 @@ class TransfoXL:
 
         mems: [L, B, M, d] right-aligned memory or None (plain causal LM).
         """
+        h, new_mems, new_valid = self.forward_hidden(
+            params, input_ids, mems=mems, mem_valid=mem_valid,
+            attn_mask=attn_mask, rng=rng, deterministic=deterministic)
+        return self._lm_head(params, h), new_mems, new_valid
+
+    def forward_hidden(
+            self, params: Params, input_ids: jnp.ndarray,
+            mems: Optional[jnp.ndarray] = None, mem_valid=0,
+            attn_mask: Optional[jnp.ndarray] = None, rng=None,
+            deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+        """Trunk only: final hidden states [B, Q, d] (for the chunked
+        large-vocab loss, which applies the tied head tile by tile)."""
         cfg = self.cfg
         dtype = cfg.compute_dtype
         B, Q = input_ids.shape
@@ -204,12 +225,11 @@ class TransfoXL:
             h = ffn(layer['ffn'], h, pre_lnorm=cfg.pre_lnorm,
                     dropout_rate=cfg.dropout, rng=r_f, deterministic=deterministic)
 
-        logits = self._lm_head(params, h)
         if mems is not None:
             new_mems = jnp.stack(new_mems)
             new_valid = jnp.minimum(mem_valid + Q, cfg.mem_len)
-            return logits, new_mems, new_valid
-        return logits, None, jnp.zeros((), jnp.int32)
+            return h, new_mems, new_valid
+        return h, None, jnp.zeros((), jnp.int32)
 
     @staticmethod
     def _pick_block(n: int, cap: int) -> int:
@@ -246,12 +266,23 @@ class TransfoXL:
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """CLM loss + aux metrics.  n_seg > 1 trains via segment-scan memory."""
         if n_seg <= 1:
+            if self.cfg.head_chunk:
+                h, _, _ = self.forward_hidden(params, input_ids, rng=rng,
+                                              deterministic=deterministic)
+                loss, n_tok, preds = chunked_shifted_ce_loss(
+                    h, labels, params['embed']['weight'], params['out_bias'],
+                    chunk=self.cfg.head_chunk)
+                acc = ntp_accuracy(preds, labels)
+                return loss, dict(ntp_acc=acc, n_tok=n_tok, preds=preds)
             logits, _, _ = self.forward(params, input_ids, rng=rng,
                                         deterministic=deterministic)
             loss, n_tok = shifted_ce_loss(logits, labels)
             acc = ntp_accuracy(logits, labels)
             return loss, dict(ntp_acc=acc, n_tok=n_tok,
                               preds=jnp.argmax(logits, axis=-1))
+        assert not self.cfg.head_chunk, \
+            'head_chunk (large-vocab tiled CE) requires n_seg == 1; ' \
+            'segment-scan training materializes per-segment logits'
         return self._loss_segments(params, input_ids, labels, rng=rng,
                                    deterministic=deterministic, n_seg=n_seg)
 
@@ -420,3 +451,6 @@ class TransfoXL:
     def select_decode_state(state: DecodeState, idx: jnp.ndarray) -> DecodeState:
         return DecodeState(state.cache_k[:, idx], state.cache_v[:, idx],
                            state.cache_pos, state.step)
+
+    # alias under the generic name MusicGenerator looks up on any model
+    reorder_decode_state = select_decode_state

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    'PT_LOSS_PAD', 'shifted_ce_loss', 'ntp_accuracy', 'ikr_from_ids',
+    'PT_LOSS_PAD', 'shifted_ce_loss', 'chunked_shifted_ce_loss',
+    'ntp_accuracy', 'ikr_from_ids',
 ]
 
 PT_LOSS_PAD = -100
@@ -53,6 +54,83 @@ def shifted_ce_loss(
     n = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
     loss = jnp.sum(jnp.where(valid, nll, 0.0)) / n
     return loss, n
+
+
+def chunked_shifted_ce_loss(
+        h: jnp.ndarray, labels: jnp.ndarray, embed_w: jnp.ndarray,
+        out_bias: jnp.ndarray, *, chunk: int = 8192,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact tied-head CE for HUGE vocabs without a [B, T, V] logits tensor.
+
+    The reference switches to adaptive softmax above vocab 1000
+    (reference musicnlp/models/transformer_xl.py:56-66) to bound softmax cost;
+    on TPU the binding constraint is logits MEMORY, not FLOPs (a 262k-vocab
+    [16, 1024, 262144] f32 tensor is 17 GB).  This computes the identical
+    full-softmax loss by scanning the vocab in `chunk`-column tiles: each tile
+    is one MXU-friendly [B*T, d] x [d, chunk] matmul; a running logsumexp, the
+    gathered target logit, and a running (max, argmax) for predictions are the
+    only state.  `jax.checkpoint` on the tile body keeps backward memory at
+    one tile.  Exact -- unlike sampled/adaptive softmax, no approximation.
+
+    h:        [B, T, d] final hidden states (any dtype; matmul accumulates f32).
+    labels:   int32 [B, T], -100 = ignore (CLM shift applied internally).
+    embed_w:  [V, d] tied embedding.
+    out_bias: [V].
+    Returns (mean_loss, n_valid, preds int32 [B, T]) with preds = argmax over
+    the full vocab at every position (for NTP-acc/IKR).
+    """
+    B, T, d = h.shape
+    V = embed_w.shape[0]
+    n_chunk = -(-V // chunk)
+    V_pad = n_chunk * chunk
+    if V_pad != V:
+        embed_w = jnp.pad(embed_w, ((0, V_pad - V), (0, 0)))
+        # padded rows get -inf bias so they can never win argmax/lse
+        out_bias = jnp.pad(out_bias, (0, V_pad - V), constant_values=-1e30)
+
+    lb = labels[:, 1:]
+    valid = lb != PT_LOSS_PAD
+    lb_safe = jnp.where(valid, lb, 0)
+    hq = h[:, :-1]                                     # positions that predict
+
+    def tile(carry, ci):
+        lse, tgt, run_max, run_arg = carry
+        lo = ci * chunk
+
+        @jax.checkpoint
+        def tile_logits(hq, w, b):
+            return (jnp.einsum('btd,vd->btv', hq, w.astype(hq.dtype),
+                               preferred_element_type=jnp.float32)
+                    + b.astype(jnp.float32))
+
+        w_c = jax.lax.dynamic_slice(embed_w, (lo, 0), (chunk, d))
+        b_c = jax.lax.dynamic_slice(out_bias, (lo,), (chunk,))
+        lg = tile_logits(hq, w_c, b_c)                 # [B, T-1, chunk] f32
+        lse = jnp.logaddexp(lse, jax.nn.logsumexp(lg, axis=-1))
+        in_c = (lb_safe >= lo) & (lb_safe < lo + chunk)
+        idx = jnp.clip(lb_safe - lo, 0, chunk - 1)
+        got = jnp.take_along_axis(lg, idx[..., None], axis=-1)[..., 0]
+        tgt = jnp.where(in_c, got, tgt)
+        c_max = jnp.max(lg, axis=-1)
+        c_arg = jnp.argmax(lg, axis=-1).astype(jnp.int32) + lo
+        better = c_max > run_max
+        run_max = jnp.where(better, c_max, run_max)
+        run_arg = jnp.where(better, c_arg, run_arg)
+        return (lse, tgt, run_max, run_arg), None
+
+    neg = jnp.full((B, T - 1), -jnp.inf, jnp.float32)
+    init = (neg, jnp.zeros((B, T - 1), jnp.float32), neg,
+            jnp.zeros((B, T - 1), jnp.int32))
+    (lse, tgt, _, run_arg), _ = jax.lax.scan(
+        tile, init, jnp.arange(n_chunk, dtype=jnp.int32))
+
+    nll = lse - tgt
+    n = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
+    loss = jnp.sum(jnp.where(valid, nll, 0.0)) / n
+    # preds for metric parity with the full-logits path: [B, T] where column
+    # t is the argmax of position t's logits (last column unused by metrics)
+    preds = jnp.concatenate([run_arg, run_arg[:, -1:]], axis=1)
+    return loss, n, preds
 
 
 def ntp_accuracy(logits_or_preds: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:

@@ -68,7 +68,7 @@ def _spec_for(names, leaf) -> P:
     parent = names[-2] if len(names) > 1 else ''
     if last == 'qkv':                              # [d, 3, N, H]
         return P(None, None, MODEL_AXIS, None)
-    if last in ('r', 'qk') or (last == 'v' and parent == 'attn'):
+    if last in ('r', 'qk') or (last in ('v', 'k') and parent == 'attn'):
         return P(None, MODEL_AXIS, None)           # [d, N, H]
     if last == 'o':                                # [N, H, d] row-parallel
         return P(MODEL_AXIS, None, None)

@@ -305,9 +305,13 @@ class MusicGenerator:
                 length_penalty = float(strategy_args.get('length_penalty', 1.0))
                 div_penalty = float(strategy_args.get('diversity_penalty', 1.0))
 
-                def reorder(st: DecodeState, idx):
-                    return DecodeState(st.cache_k[:, idx], st.cache_v[:, idx],
-                                       st.cache_pos, st.step)
+                # models know their own cache layout (TF-XL and Reformer both
+                # carry batch on axis 1); fall back to TF-XL's DecodeState
+                reorder = getattr(model, 'reorder_decode_state', None)
+                if reorder is None:
+                    def reorder(st: DecodeState, idx):
+                        return DecodeState(st.cache_k[:, idx], st.cache_v[:, idx],
+                                           st.cache_pos, st.step)
 
                 if n_groups > 1:
                     from musicnlp_tpu.ops.sampling import diverse_beam_generate

@@ -17,6 +17,10 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 import jax
 
 jax.config.update('jax_platforms', 'cpu')
+# this environment's DEFAULT matmul precision quantizes f32 einsum inputs to
+# bf16 even on CPU (TPU-style); equivalence tests (decode vs forward, sharded
+# vs single-device) need true f32 matmuls to assert tight tolerances
+jax.config.update('jax_default_matmul_precision', 'highest')
 assert jax.devices()[0].platform == 'cpu' and len(jax.devices()) >= 8, (
     'tests must run on the virtual 8-device CPU mesh, got '
     f'{jax.devices()}')

@@ -184,16 +184,14 @@ def test_reformer_pad_mask(debug_reformer):
                                rtol=2e-3, atol=2e-3)
 
 
-def test_reformer_decode_matches_forward(debug_reformer):
-    """Full-prefix decode logits == forward logits at each position."""
+def test_reformer_exact_decode_matches_forward(debug_reformer):
+    """Full-prefix oracle decode logits == forward logits at each position."""
     import jax.numpy as jnp
     model, params = debug_reformer
     B, T = 1, 64
     ids = jax.random.randint(jax.random.PRNGKey(21), (B, T), 2, 128)
-    pad_mask = jnp.ones((B, T), bool)
-    want = model.forward(params, ids, pad_mask=pad_mask)
-    st = model.init_decode_state(B)
-    step = jax.jit(model.decode_step)
+    st = model.init_decode_state_exact(B)
+    step = jax.jit(model.decode_step_exact)
     for t in range(8):                  # first 8 steps (each is a full fwd)
         lg, st = step(params, ids[:, t], st)
         # forward over the same prefix (rest padded+masked)
@@ -204,6 +202,111 @@ def test_reformer_decode_matches_forward(debug_reformer):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_reformer_incremental_decode_local_exact():
+    """Incremental decode == exact oracle at every step for a local-only
+    stack: the 2*chunk ring cache is lossless."""
+    cfg = ReformerConfig.from_size('debug', vocab_size=128, dtype='float32',
+                                   local_chunk=16, lsh_chunk=16, dropout=0.0,
+                                   attn_layers=('local',) * 4)
+    model = Reformer(cfg)
+    params = model.init(jax.random.PRNGKey(1))
+    B, T = 2, 64
+    ids = jax.random.randint(jax.random.PRNGKey(21), (B, T), 2, 128)
+    si, se = model.init_decode_state(B), model.init_decode_state_exact(B)
+    step_i, step_e = jax.jit(model.decode_step), jax.jit(model.decode_step_exact)
+    for t in range(T):
+        li, si = step_i(params, ids[:, t], si)
+        le, se = step_e(params, ids[:, t], se)
+        np.testing.assert_allclose(np.asarray(li), np.asarray(le),
+                                   rtol=1e-4, atol=1e-4, err_msg=f't={t}')
+
+
+def test_reformer_incremental_decode_first_chunk_exact(debug_reformer):
+    """With LSH layers, incremental decode is exact while t < chunk (the
+    current-chunk rule covers the whole prefix there)."""
+    model, params = debug_reformer
+    B = 2
+    ids = jax.random.randint(jax.random.PRNGKey(22), (B, 64), 2, 128)
+    si, se = model.init_decode_state(B), model.init_decode_state_exact(B)
+    step_i, step_e = jax.jit(model.decode_step), jax.jit(model.decode_step_exact)
+    for t in range(model.cfg.lsh_chunk):
+        li, si = step_i(params, ids[:, t], si)
+        le, se = step_e(params, ids[:, t], se)
+        np.testing.assert_allclose(np.asarray(li), np.asarray(le),
+                                   rtol=1e-4, atol=1e-4, err_msg=f't={t}')
+
+
+def test_reformer_incremental_decode_trained_continuation():
+    """On a trained model, incremental greedy decode continues a learned
+    pattern exactly like the exact-but-quadratic oracle -- the capability
+    check for replacing the re-forward decoder (VERDICT round-1 item 4)."""
+    import optax
+    cfg = ReformerConfig.from_size('debug', vocab_size=32, dtype='float32',
+                                   local_chunk=16, lsh_chunk=16, dropout=0.0)
+    model = Reformer(cfg)
+    params = model.init(jax.random.PRNGKey(3))
+    period = 8
+    ids = jnp.tile(jnp.arange(64, dtype=jnp.int32)[None] % period + 2, (2, 1))
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+
+    @jax.jit
+    def train(p, o):
+        loss, g = jax.value_and_grad(lambda q: model.loss(q, ids, ids)[0])(p)
+        u, o = tx.update(g, o)
+        return optax.apply_updates(p, u), o, loss
+
+    for _ in range(60):
+        params, opt, loss = train(params, opt)
+    assert float(loss) < 0.3, f'pattern not learned: {float(loss)}'
+
+    B, P, G = 1, 16, 32   # prompt 16 tokens, generate 32 more
+    prompt = ids[:1, :P]
+    si, se = model.init_decode_state(B), model.init_decode_state_exact(B)
+    step_i, step_e = jax.jit(model.decode_step), jax.jit(model.decode_step_exact)
+    cur_i = cur_e = prompt[:, 0]
+    out_i, out_e = [], []
+    for t in range(P + G - 1):
+        li, si = step_i(params, cur_i, si)
+        le, se = step_e(params, cur_e, se)
+        nxt_i = jnp.argmax(li, -1).astype(jnp.int32)
+        nxt_e = jnp.argmax(le, -1).astype(jnp.int32)
+        if t + 1 < P:       # teacher-force through the prompt
+            cur_i = cur_e = prompt[:, t + 1]
+        else:
+            cur_i, cur_e = nxt_i, nxt_e
+            out_i.append(int(nxt_i[0]))
+            out_e.append(int(nxt_e[0]))
+    assert out_i == out_e, f'{out_i} != {out_e}'
+    # and both continue the learned period-8 pattern
+    want = [(P + i) % period + 2 for i in range(G)]
+    assert out_i == want, f'{out_i} != {want}'
+
+
+def test_reformer_decode_state_reorder():
+    """reorder_decode_state gathers the batch axis of every cache leaf."""
+    cfg = ReformerConfig.from_size('debug', vocab_size=64, dtype='float32',
+                                   local_chunk=16, lsh_chunk=16, dropout=0.0)
+    model = Reformer(cfg)
+    st = model.init_decode_state(4)
+    st = st._replace(lsh_k=st.lsh_k.at[:, 2].add(1.0))
+    idx = jnp.array([2, 2, 0, 1])
+    st2 = model.reorder_decode_state(st, idx)
+    np.testing.assert_allclose(np.asarray(st2.lsh_k[:, 0]),
+                               np.asarray(st.lsh_k[:, 2]))
+    np.testing.assert_allclose(np.asarray(st2.lsh_k[:, 1]),
+                               np.asarray(st.lsh_k[:, 2]))
+    assert st2.step.shape == ()
+
+
+def test_reformer_local_layers_have_separate_key_projection(debug_reformer):
+    """HF parity: local layers carry their own `k`; LSH layers share QK."""
+    model, params = debug_reformer
+    for li, kind in enumerate(model.cfg.attn_layers):
+        has_k = 'k' in params['layers'][li]['attn']
+        assert has_k == (kind == 'local')
+
+
 def test_reformer_max_length_override_auto_axial():
     cfg = ReformerConfig.from_size('tiny', vocab_size=422, max_length=4096)
     assert cfg.max_length == 4096
@@ -211,3 +314,25 @@ def test_reformer_max_length_override_auto_axial():
     assert n1 * n2 == 4096 and n2 == 64  # the reference's attempted 64x64
     cfg2 = ReformerConfig.from_size('debug', vocab_size=422, max_length=128)
     assert cfg2.axial_pos_shape[0] * cfg2.axial_pos_shape[1] == 128
+
+
+def test_reformer_generate_scan_end_to_end():
+    """The incremental decoder drives ops.sampling.generate_scan: one jitted
+    scan generates a batch of sequences (the 22-04 recipe's decode path)."""
+    from musicnlp_tpu.ops.sampling import SampleConfig, generate_scan
+    cfg = ReformerConfig.from_size('debug', vocab_size=64, dtype='float32',
+                                   local_chunk=16, lsh_chunk=16, dropout=0.0)
+    model = Reformer(cfg)
+    params = model.init(jax.random.PRNGKey(5))
+    prompt = jnp.array([[5, 9, 4], [7, 2, 8]], jnp.int32)
+    plen = jnp.array([3, 2], jnp.int32)
+    ids, out_len = jax.jit(lambda p, pr, pl, r: generate_scan(
+        lambda t, s: model.decode_step(p, t, s), model.init_decode_state(2),
+        pr, pl, max_length=48, eos_id=3, pad_id=1,
+        sample_cfg=SampleConfig(strategy='sample', top_k=8),
+        vocab_size=64, rng=r))(params, prompt, plen, jax.random.PRNGKey(0))
+    ids, out_len = np.asarray(ids), np.asarray(out_len)
+    assert ids.shape == (2, 48)
+    np.testing.assert_array_equal(ids[0, :3], [5, 9, 4])
+    np.testing.assert_array_equal(ids[1, :2], [7, 2])
+    assert (out_len >= 3).all() and (out_len <= 48).all()
