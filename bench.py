@@ -26,15 +26,16 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, 'baseline_ref.json')
 
 
-def measure_ours(size: str, seq: int, bsz: int, steps: int) -> float:
+def measure_ours(size: str, seq: int, bsz: int, steps: int,
+                 vocab_size: int = 1190, head_chunk: int = None) -> float:
     import jax
     import jax.numpy as jnp
     import optax
 
     from musicnlp_tpu.models.transformer_xl import TransfoXL, TransfoXLConfig
 
-    cfg = TransfoXLConfig.from_size(size, vocab_size=1190, max_length=seq,
-                                    dtype='bfloat16')
+    cfg = TransfoXLConfig.from_size(size, vocab_size=vocab_size, max_length=seq,
+                                    dtype='bfloat16', head_chunk=head_chunk)
     model = TransfoXL(cfg)
     params = model.init(jax.random.PRNGKey(0))
     tx = optax.chain(optax.clip_by_global_norm(1.0),
@@ -481,12 +482,16 @@ def main():
     seq = int(os.environ.get('BENCH_SEQ', 1024))
     bsz = int(os.environ.get('BENCH_BSZ', 16))
     steps = int(os.environ.get('BENCH_STEPS', 10))
+    vocab = int(os.environ.get('BENCH_VOCAB', 1190))
+    head_chunk = int(os.environ.get('BENCH_HEAD_CHUNK', 0)) or None
     baseline = get_baseline(size, seq)
-    ours = measure_ours(size, seq, bsz, steps)
+    ours = measure_ours(size, seq, bsz, steps, vocab_size=vocab,
+                        head_chunk=head_chunk)
+    extra = {} if vocab == 1190 else dict(vocab_size=vocab)
     print(json.dumps(dict(
         metric=f'tfxl_{size}_train_tokens_per_sec_per_chip',
         value=round(ours, 1), unit='tokens/sec/chip',
-        vs_baseline=round(ours / baseline, 2))))
+        vs_baseline=round(ours / baseline, 2), **extra)))
 
 
 if __name__ == '__main__':

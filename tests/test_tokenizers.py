@@ -203,3 +203,68 @@ def test_wordpiece_key_augmented_corpus():
     tok = tr(corpus, vocab_size=2 * len(tr.vocab) + 8)
     for c in corpus:
         assert tok.decode(tok.encode(c)) == c
+
+
+def test_wordpiece_reference_scale_32k():
+    """Train WordPiece at the reference's production tier (32,768; reference
+    wordpiece_tokenizer.py:455-468) over a key-augmented corpus with the
+    native trainer, and prove the trained tokenizer is exact and trains
+    through a TF-XL step."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from musicnlp_tpu.models.transformer_xl import TransfoXL, TransfoXLConfig
+    from musicnlp_tpu.trainer.wordpiece_tokenizer import WordPieceMusicTrainer
+
+    rng = np.random.default_rng(0)
+    names = ['C', 'D', 'E', 'F', 'G', 'A', 'B']
+    pcs = {'C': 1, 'D': 3, 'E': 5, 'F': 6, 'G': 8, 'A': 10, 'B': 12}
+    durs = ['d_1', 'd_1/2', 'd_1/4', 'd_2', 'd_3/4', 'd_3/2']
+
+    def note(o_lo, o_hi):
+        nm = names[int(rng.integers(7))]
+        return (f'p_{pcs[nm]}/{int(rng.integers(o_lo, o_hi))}_{nm} '
+                f'{durs[int(rng.integers(6))]}')
+
+    def song():
+        bars = []
+        for _ in range(int(rng.integers(8, 24))):
+            notes = [note(3, 6) for _ in range(int(rng.integers(2, 8)))]
+            bars.append('<bar> <melody> ' + ' '.join(notes)
+                        + ' <bass> ' + note(2, 3))
+        return 'TimeSig_4/4 Tempo_120 ' + ' '.join(bars) + ' </s>'
+
+    songs = [dict(score=song(), keys={'CMajor': 0.9, 'GMajor': 0.4})
+             for _ in range(3000)]
+    tr = WordPieceMusicTrainer(pitch_kind='degree')
+    aug = list(tr.key_augmented_corpus(songs))
+    t0 = time.time()
+    tok = tr(aug, vocab_size=32768)
+    train_s = time.time() - t0
+    assert tok.vocab_size == 32768
+    assert train_s < 120, f'native 32k training too slow: {train_s:.0f}s'
+
+    # exact decode(encode(x)) round trip on augmented songs (the reference's
+    # _CheckTrainedSingle invariant, reference :471-523)
+    for text in aug[:20]:
+        ids = tok.encode(text)
+        assert tok.decode(ids) == text
+    # merged units actually compress
+    n_tok = sum(len(t.split()) for t in aug[:50])
+    n_unit = sum(len(tok.encode(t)) for t in aug[:50])
+    assert n_unit < n_tok
+
+    # TF-XL trains one step over the 32k vocab (full-vocab head -- fine at 32k)
+    cfg = TransfoXLConfig(vocab_size=tok.vocab_size, model_size='test',
+                          d_model=32, n_head=2, d_head=16, d_inner=64,
+                          n_layer=2, mem_len=16, clamp_len=32, max_length=64,
+                          dropout=0.0, dtype='float32')
+    model = TransfoXL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    ids = jnp.asarray([tok.encode(aug[0])[:64], tok.encode(aug[1])[:64]],
+                      jnp.int32)
+    loss, _ = jax.jit(lambda p, i: model.loss(p, i, i))(params, ids)
+    assert np.isfinite(float(loss)) and float(loss) < 12
