@@ -17,9 +17,61 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ['make_mesh', 'make_multislice_mesh', 'param_specs', 'batch_specs',
-           'shard_pytree', 'replicated_specs']
+           'shard_pytree', 'replicated_specs', 'init_distributed',
+           'host_shard', 'make_global_batch']
 
 DATA_AXIS, MODEL_AXIS, REPLICA_AXIS = 'data', 'model', 'replica'
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host entry point: initialize the JAX distributed runtime so
+    `jax.devices()` spans every host's chips (call ONCE, before any other jax
+    API, on every process).  With no arguments JAX auto-detects the cluster
+    from the TPU metadata/env (the normal pod-slice path); explicit args
+    support bring-your-own coordinators.  No-op when already initialized or
+    when nothing indicates a multi-process launch.  Returns process_count."""
+    try:
+        already = jax.process_count() > 1
+    except Exception:
+        already = False
+    if not already and (coordinator_address or num_processes
+                        or _looks_distributed()):
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_count()
+
+
+def _looks_distributed() -> bool:
+    import os
+    return any(os.environ.get(k) for k in
+               ('COORDINATOR_ADDRESS', 'JAX_COORDINATOR_ADDRESS',
+                'MEGASCALE_COORDINATOR_ADDRESS'))
+
+
+def host_shard() -> Optional[tuple]:
+    """(process_index, process_count) for per-host input sharding, or None
+    single-process (the `shard=` arg of SongDataset.batches)."""
+    n = jax.process_count()
+    return (jax.process_index(), n) if n > 1 else None
+
+
+def make_global_batch(batch: Dict[str, Any], mesh: Mesh,
+                      specs: Dict[str, P]) -> Dict[str, Any]:
+    """Per-host local batch -> global jax.Arrays laid out on the mesh.
+
+    Single-process: plain device transfer (the jitted step's in_shardings
+    place it).  Multi-process: each host contributes only its slice;
+    `jax.make_array_from_process_local_data` assembles the logical global
+    array without any cross-host data movement."""
+    import jax.numpy as jnp
+    if jax.process_count() == 1:
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+    return {k: jax.make_array_from_process_local_data(
+                NamedSharding(mesh, specs[k]), v)
+            for k, v in batch.items()}
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,

@@ -400,7 +400,11 @@ class ProportionMixingDataset:
         raise IndexError
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = None,
-                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+                drop_last: bool = True,
+                shard: Optional[Tuple[int, int]] = None,
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        """Fixed-shape batches; `shard=(host_id, n_hosts)` yields this host's
+        slice of each global batch (same semantics as AugmentedDataset)."""
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed if seed is not None else self.rng.integers(2**31)).shuffle(order)
@@ -408,6 +412,11 @@ class ProportionMixingDataset:
             idxs = order[i:i + batch_size]
             if len(idxs) < batch_size and drop_last:
                 break
+            if shard is not None:
+                hid, n_hosts = shard
+                assert batch_size % n_hosts == 0
+                per = batch_size // n_hosts
+                idxs = idxs[hid * per:(hid + 1) * per]
             items = [self[int(j)] for j in idxs]
             yield {k: np.stack([it[k] for it in items]) for k in items[0]}
 

@@ -134,7 +134,7 @@ class Trainer:
             self, model: TransfoXL, tokenizer: MusicTokenizer,
             train_dataset, eval_dataset=None, args: TrainArgs = None,
             out_dir: str = None, mesh=None, n_model: int = 1,
-            ikr_mode: str = 'vanilla',
+            ikr_mode: str = 'vanilla', host_shard=None,
     ):
         self.model = model
         self.tokenizer = tokenizer
@@ -143,6 +143,12 @@ class Trainer:
         self.args = args or TrainArgs()
         self.out_dir = out_dir or os.path.join('models', f'run_{int(time.time())}')
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(n_model=n_model)
+        # multi-host input sharding: each process loads only its slice of
+        # every global batch (reference is single-process; SURVEY.md 2.2's
+        # TPU-native equivalent is per-host loading + one GSPMD program).
+        # Auto-detected from jax.process_count(); override for tests.
+        self.host_shard = host_shard if host_shard is not None \
+            else mesh_lib.host_shard()
 
         steps_per_epoch = max(1, len(train_dataset) // self.args.batch_size)
         self.steps_per_epoch = steps_per_epoch
@@ -187,8 +193,9 @@ class Trainer:
         model, args = self.model, self.args
         from jax.sharding import NamedSharding
         multislice = mesh_lib.REPLICA_AXIS in self.mesh.axis_names
+        self._bspecs = mesh_lib.batch_specs(multislice=multislice)
         bspec = {k: NamedSharding(self.mesh, v)
-                 for k, v in mesh_lib.batch_specs(multislice=multislice).items()}
+                 for k, v in self._bspecs.items()}
 
         def train_step(params, opt_state, batch, rng):
             def loss_fn(p):
@@ -251,13 +258,16 @@ class Trainer:
             t_ep = time.time()
             n_tok_ep = 0
             from musicnlp_tpu.utils.prefetch import prefetch
+            bkw = dict(shard=self.host_shard) if self.host_shard else {}
             for batch in prefetch(self.train_dataset.batches(
-                    args.batch_size, shuffle=True, seed=args.seed + epoch)):
+                    args.batch_size, shuffle=True, seed=args.seed + epoch,
+                    **bkw)):
                 self._rng, r = jax.random.split(self._rng)
                 # count host-side: forcing device scalars every step would
                 # serialize dispatch (the device runs async)
                 n_tok_ep += int((np.asarray(batch['labels']) != PT_LOSS_PAD).sum())
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                batch = mesh_lib.make_global_batch(batch, self.mesh,
+                                                   self._bspecs)
                 params, opt_state, mets = self.train_step(params, opt_state, batch, r)
                 global_step += 1
                 if global_step % args.logging_steps == 0:

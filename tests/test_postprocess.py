@@ -142,3 +142,64 @@ def test_sample_fixtures_cross_kind_consistent():
     ak = tsf.AugmentKey()
     as_degree = ak((sample_full_step, 'CMajor'))
     assert as_degree == sample_full_degree
+
+
+def test_visualize_breadth(tmp_path):
+    """Round-2 MusicVisualize parity breadth (reference :304-862):
+    duration-weighted pitch/key dists, per-dataset comparisons, coverage
+    summaries per tokenizer, warning-severity report, empty-channel and
+    tuplet-duration ratios, stats cache."""
+    from musicnlp_tpu.preprocess.transform import SanitizeRare, ToMidiPitch
+    to_midi = lambda s: ToMidiPitch()(SanitizeRare()(s))
+    songs_a = [dict(score=sample_full_midi, keys={'CMajor': 0.9, 'GMajor': 0.5},
+                    duration=8, warnings=[dict(warn_name='Higher Pitch Overlap'),
+                                          dict(warn_name='Invalid Tuplet Durations')])]
+    songs_b = [dict(score=to_midi(sample_full_step), keys={'DMajor': 0.8},
+                    duration=12, warnings=[dict(warn_name='Gap in extracted Bar Notes')])]
+    mv = MusicVisualize({'corpus-a': songs_a, 'corpus-b': songs_b})
+
+    # per-dataset stats + merged
+    assert mv.stats()['n_song'] == 2
+    assert mv.per_dataset('corpus-a')['n_song'] == 1
+    rep = mv.report()
+    assert set(rep['per_dataset']) == {'corpus-a', 'corpus-b'}
+
+    # duration-weighted pitch: midi 72 carries 17/3 QL in the midi sample
+    w = mv.weighted_pitch_dist(dataset='corpus-a')
+    assert np.isclose(w[72], 17 / 3)
+    # weighted key dist uses confidences
+    kd = mv.key_dist(weighted=True, dataset='corpus-a')
+    assert np.isclose(kd['CMajor'], 0.9) and np.isclose(kd['GMajor'], 0.5)
+
+    # ratios
+    assert 0.0 <= mv.tuplet_duration_ratio() <= 1.0
+    assert 0.0 <= mv.stats()['empty_channel_ratio'] <= 1.0
+
+    # coverage per tokenizer scheme
+    cov = mv.coverage_summary(ratios=(0.5, 0.95))
+    assert cov['corpus-a'][0.5] <= cov['corpus-a'][0.95]
+    from musicnlp_tpu.trainer.pair_merge_tokenizer import PairMergeTokenizerTrainer
+    pm = PairMergeTokenizerTrainer(pitch_kind='midi')(
+        [s['score'] for s in songs_a + songs_b], coverage_ratio=0.9)
+    cov_pm = mv.coverage_summary(ratios=(0.95,), tokenizer=pm)
+    assert cov_pm['corpus-a'][0.95] > 0
+
+    # warning severities
+    sev = mv.warning_severity_report()
+    assert sev['total'] == 3 and sev['severity_weighted'] > 0
+    assert any(sev['by_severity'].values())
+
+    # cache round trip
+    cache = str(tmp_path / 'viz_cache.json')
+    mv.save_cache(cache)
+    mv2 = MusicVisualize({'corpus-a': songs_a, 'corpus-b': songs_b})
+    mv2.load_cache(cache)
+    assert mv2.stats()['n_song'] == 2
+    assert mv2.stats()['time_sig'][(4, 4)] == mv.stats()['time_sig'][(4, 4)]
+    assert mv2.per_dataset('corpus-b')['n_song'] == 1
+
+    # per-dataset hue plots + weighted pitch + coverage PNGs
+    paths = mv.plot_all(str(tmp_path / 'plots'))
+    assert all(os.path.getsize(p) > 0 for p in paths)
+    assert any('weighted_pitch' in p for p in paths)
+    assert any('coverage' in p for p in paths)

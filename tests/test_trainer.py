@@ -386,3 +386,68 @@ def test_grad_accum_schedule_spans_optimizer_steps():
     assert float(sched(n_opt)) == pytest.approx(0.0, abs=1e-9)
     # without the fix the schedule would still be warming up / mid-decay here
     assert float(sched(n_opt // 2)) < 1e-3
+
+
+def test_multi_host_input_wiring(setup, tmp_path_factory):
+    """Trainer consumes per-host slices of each global batch when host_shard
+    is set (auto-detected from jax.process_count() on real multi-host runs):
+    local batches are global_bsz/n_hosts rows, and the two hosts' streams
+    tile the unsharded stream exactly."""
+    from musicnlp_tpu.parallel.mesh import (
+        host_shard, init_distributed, make_global_batch,
+    )
+    model, tok, train, evald = setup
+
+    # single-process: no-op init, no shard, plain device transfer
+    assert init_distributed() == 1
+    assert host_shard() is None
+
+    class Recording:
+        def __init__(self, inner):
+            self.inner, self.shapes = inner, []
+
+        def __len__(self):
+            return len(self.inner)
+
+        def batches(self, *a, **kw):
+            for b in self.inner.batches(*a, **kw):
+                self.shapes.append(b['input_ids'].shape)
+                yield b
+
+    rec = Recording(train)
+    args = TrainArgs(batch_size=16, learning_rate=1e-3, weight_decay=0.0,
+                     lr_scheduler_type='constant', num_train_epochs=1,
+                     save_per_epoch=False, load_best_model_at_end=False)
+    out = str(tmp_path_factory.mktemp('mh'))
+    tr = Trainer(model, tok, rec, None, args=args, out_dir=out,
+                 host_shard=(1, 2))
+    tr.train()
+    assert rec.shapes and all(s[0] == 8 for s in rec.shapes)  # 16 / 2 hosts
+
+    # the hosts' slices tile the global batches (both dataset flavors)
+    for ds in (train,):
+        full = list(ds.batches(8, shuffle=True, seed=3))
+        parts = [list(ds.batches(8, shuffle=True, seed=3, shard=(h, 2)))
+                 for h in range(2)]
+        for bi, fb in enumerate(full):
+            got = np.concatenate([parts[0][bi]['input_ids'],
+                                  parts[1][bi]['input_ids']])
+            np.testing.assert_array_equal(got, fb['input_ids'])
+
+    # make_global_batch single-process path: device arrays, same values
+    gb = make_global_batch(full[0], tr.mesh, tr._bspecs)
+    np.testing.assert_array_equal(np.asarray(gb['input_ids']),
+                                  full[0]['input_ids'])
+
+
+def test_proportion_mixing_batches_shard(setup):
+    """ProportionMixingDataset.batches supports the same shard contract."""
+    from musicnlp_tpu.preprocess.dataset import ProportionMixingDataset
+    model, tok, train, evald = setup
+    pm = ProportionMixingDataset([train], k=10 ** 9)
+    full = list(pm.batches(8, shuffle=True, seed=5))
+    parts = [list(pm.batches(8, shuffle=True, seed=5, shard=(h, 4)))
+             for h in range(4)]
+    for bi, fb in enumerate(full):
+        got = np.concatenate([parts[h][bi]['input_ids'] for h in range(4)])
+        np.testing.assert_array_equal(got, fb['input_ids'])
