@@ -135,13 +135,14 @@ class MusicExport:
 
         errors = [r for r in results if r and 'error' in r]
         done = [r for r in results if r and 'error' not in r]
-        n_skip = sum(1 for r in results if r is None and save_each) - (
-            0 if save_each else 0)
+        # a None result = output already existed (resume-by-skip, :53-56)
+        n_skip = sum(1 for r in results if r is None)
         out = dict(
             n_total=len(paths), n_error=len(errors), errors=errors,
             seconds=round(time.time() - t0, 2))
         if save_each:
-            out['n_done_or_skipped'] = len(paths) - len(errors)
+            out['n_skipped'] = n_skip
+            out['n_done'] = len(paths) - len(errors) - n_skip
         else:
             out['songs'] = done
         return out

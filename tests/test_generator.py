@@ -158,3 +158,39 @@ def test_conditional_prompt_from_mxl_file(gen, tmp_path):
     assert all(t in gen.vocab for t in prompt.split())   # midi kind
     outs = gen.generate([prompt], strategy='greedy', max_length=64)
     assert outs[0].startswith(prompt)
+
+
+@pytest.fixture(scope='module')
+def gen_reformer():
+    from musicnlp_tpu.models.reformer import Reformer, ReformerConfig
+    tok = MusicTokenizer(pitch_kind='midi', model_max_length=128)
+    cfg = ReformerConfig.from_size('debug', vocab_size=tok.vocab_size,
+                                   max_length=128, local_chunk=16,
+                                   lsh_chunk=16, dropout=0.0, dtype='float32')
+    model = Reformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    return MusicGenerator(model, tok, params, augment_key=False)
+
+
+def test_reformer_generator_sample_and_render(gen_reformer, tmp_path):
+    """MusicGenerator drives the Reformer incremental decoder end to end
+    (the 22-04 recipe's generation path: sample + render, reference
+    trainer/eval.py:333 via HF generate)."""
+    gen_reformer.out_dir = str(tmp_path)
+    outs = gen_reformer(mode='unconditional', strategy='sample', n_song=2,
+                        max_length=96, top_p=0.9, seed=11)
+    assert len(outs) == 2
+    for rec in outs:
+        assert rec['text'].endswith('</s>')
+        assert os.path.getsize(rec['mxl']) > 0 and os.path.getsize(rec['midi']) > 0
+
+
+def test_reformer_generator_beam(gen_reformer):
+    """Beam search over the Reformer uses its reorder_decode_state (batch on
+    axis 1 of every cache leaf) -- deterministic across calls."""
+    prompts = ['TimeSig_4/4 Tempo_120 <bar>'] * 2
+    a = gen_reformer.generate(prompts, strategy='beam', max_length=48,
+                              num_beams=4)
+    b = gen_reformer.generate(prompts, strategy='beam', max_length=48,
+                              num_beams=4)
+    assert a == b and all(isinstance(t, str) and t for t in a)
