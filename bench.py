@@ -33,6 +33,7 @@ def measure_ours(size: str, seq: int, bsz: int, steps: int,
     import optax
 
     from musicnlp_tpu.models.transformer_xl import TransfoXL, TransfoXLConfig
+    from musicnlp_tpu.utils.rng import train_key
 
     cfg = TransfoXLConfig.from_size(size, vocab_size=vocab_size, max_length=seq,
                                     dtype='bfloat16', head_chunk=head_chunk)
@@ -71,11 +72,11 @@ def measure_ours(size: str, seq: int, bsz: int, steps: int,
         return params, opt_state, losses[-1]
 
     params, opt_state, loss = run_steps(params, opt_state, ids, labels,
-                                        jax.random.PRNGKey(2))
+                                        train_key(2))
     float(loss)   # compile + warmup sync
     t0 = time.perf_counter()
     params, opt_state, loss = run_steps(params, opt_state, ids, labels,
-                                        jax.random.PRNGKey(3))
+                                        train_key(3))
     float(loss)
     dt = time.perf_counter() - t0
     n_chip = 1  # single-chip benchmark; dp scales per-chip throughput ~linearly
@@ -227,6 +228,7 @@ def measure_reformer_train(size: str, seq: int, bsz: int, steps: int) -> float:
     import optax
 
     from musicnlp_tpu.models.reformer import Reformer, ReformerConfig
+    from musicnlp_tpu.utils.rng import train_key
 
     cfg = ReformerConfig.from_size(size, vocab_size=422, max_length=seq,
                                    dtype='bfloat16')
@@ -256,11 +258,11 @@ def measure_reformer_train(size: str, seq: int, bsz: int, steps: int) -> float:
         return params, opt_state, losses[-1]
 
     params, opt_state, loss = run_steps(params, opt_state, ids, labels,
-                                        jax.random.PRNGKey(2))
+                                        train_key(2))
     float(loss)
     t0 = time.perf_counter()
     params, opt_state, loss = run_steps(params, opt_state, ids, labels,
-                                        jax.random.PRNGKey(3))
+                                        train_key(3))
     float(loss)
     return bsz * seq * steps / (time.perf_counter() - t0)
 
@@ -477,7 +479,7 @@ def main():
             value=round(ours['tokens_per_sec'], 1), unit='tokens/sec/chip',
             vs_baseline=round(ours['tokens_per_sec']
                               / cache[key]['tokens_per_sec'], 2),
-            p50_song_latency_s=round(ours['p50_song_latency_s'], 3))))
+            batch_latency_s=round(ours['batch_latency_s'], 3))))
         return
     seq = int(os.environ.get('BENCH_SEQ', 1024))
     bsz = int(os.environ.get('BENCH_BSZ', 16))

@@ -10,28 +10,42 @@ The TF-XL positional term BD[q,k] = rr_q . R(d), d = (M+q) - k, cannot use the
 rel-shift trick blockwise (lane-crossing reshapes don't lower in Mosaic), so
 it is decomposed via the sine angle-addition identity into PLAIN MATMULS:
     R(d)    = W_sin sin(d w) + W_cos cos(d w)
-    BD[q,k] = U[q] . Vk[k]
-      U[q]  = [gs sin_q + gc cos_q ; -gs cos_q + gc sin_q]   content  [T, D]
-      Vk[k] = [cos(k w) ; sin(k w)]                          position [S, D]
+    BD[q,k] = U0[q] . cos(k w) + U1[q] . sin(k w)
+      U0[q] = gs sin_q + gc cos_q          content factor, [T, F]
+      U1[q] = gc sin_q - gs cos_q
       gs/gc = rr @ W_r(sin/cos halves);  sin_q/cos_q = sin/cos((M+q) w)
 exact for d <= clamp_len.  Clamped distances collapse to the same expression
-evaluated at d = L: BD(q, k_far) = U[q] . Vk[(M+q) - L], so the kernel takes a
-second position-only table VkL[q] = Vk[(M+q)-L] and computes the clamped bias
-as an in-register row-wise dot -- no per-query f32 HBM vectors (a [BN, T, 1]
-array tiles to (8,128) on TPU: a 128x padding explosion, measured OOM).
+evaluated at d = L: BD(q, k_far) = U[q] . Vk[(M+q) - L], so the kernel takes
+position-only tables vklc/vkls[q] = cos/sin(((M+q)-L) w) and computes the
+clamped bias as an in-register row-wise dot -- no per-query f32 HBM vectors
+(a [BN, T, 1] array tiles to (8,128) on TPU: a 128x padding explosion,
+measured OOM).
+
+The U factors are built INSIDE the kernel (once per q-block, in VMEM scratch)
+from rr [BN, T, H], the per-head W_r halves, and small [T, F] trig tables.
+Building U outside (as round 1 did) costs ~1.2 GB of HBM round-trips per
+layer at base/1024 -- a [B, N, T, d_model] tensor written by XLA, read by the
+kernel, saved as a residual, then its [B, N, T, d_model] gradient written by
+the kernel and chained back through XLA elementwise/matmul passes.  In-kernel
+construction replaces all of that with a [BN, T, H] rr input; the backward
+kernel likewise converts its accumulated dU into drr and per-batch dW_r
+partials in VMEM and never materializes dU.
+
+All sin/cos halves ride in SEPARATE operands (wrs/wrc, sq/cq, vkc/vks,
+vklc/vkls) so no lane-dimension slicing is needed (F = d_model/2 may not be
+tile-aligned for small models).
 
 For the same reason the softmax statistics ride inside the lane padding of
 the main tensors: the forward output is packed [BN, T, PAD] with the context
 in columns [0, H) and the LSE in column H (H=64 pads to 128 lanes anyway);
-the backward kernels receive dO packed the same way with LSE and delta in
+the backward kernel receives dO packed the same way with LSE and delta in
 columns H and H+1.
 
 Backward = ONE fused Pallas kernel behind a custom VJP: scores recompute
-once per block pair; drw/dU accumulate in scratch over the k sweep while
-dk/dv emit as per-q-block partials summed outside.  The U/gs/gc construction
-stays ordinary jnp, so JAX autodiff composes the W_r / bias gradients
-automatically (the clamped-bias grad flows through dU exactly, since the
-clamped bias is linear in U).
+once per block pair; drw/dU/dW_r accumulate in VMEM scratch over the sweeps;
+dk/dv accumulate directly into full-[S, H] output blocks kept resident in
+VMEM across each (batch*head)'s grid window (their index map ignores the
+q/k grid axes), so no per-q-block partial tensors hit HBM.
 """
 from __future__ import annotations
 
@@ -71,18 +85,40 @@ def _interior(q0, k0, M, clamp_len, mem_valid, bq, bk):
     return (d_min >= 0) & (d_max <= clamp_len) & (k0 >= M - mem_valid)
 
 
-def _score_block(rw, u, kb, vkb, far_col, q0, k0, M, scale, clamp_len,
-                 mem_valid, bq, bk, masked, with_far=True):
+def _dotT(a, b):
+    """[m, c] x [n, c] -> [m, n] f32 (contract minor dims)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot(a, b):
+    """[m, c] x [c, n] -> [m, n] f32."""
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _build_u(rr_ref, wrs_ref, wrc_ref, sq_ref, cq_ref, dtype):
+    """U factors for one q block: (u0, u1) each [bq, F] in compute dtype."""
+    rr = rr_ref[0]
+    gs = _dotT(rr, wrs_ref[0])                       # [bq, F] f32
+    gc = _dotT(rr, wrc_ref[0])
+    sq = sq_ref[:].astype(jnp.float32)
+    cq = cq_ref[:].astype(jnp.float32)
+    u0 = (gs * sq + gc * cq).astype(dtype)
+    u1 = (gc * sq - gs * cq).astype(dtype)
+    return u0, u1
+
+
+def _score_block(rw, u0, u1, kb, vkc, vks, far_col, q0, k0, M, scale,
+                 clamp_len, mem_valid, bq, bk, masked, with_far=True):
     """Masked, scaled scores [bq, bk] f32 (+ d when masked).
 
     `with_far` is a trace-time flag: whether any distance in this block pair
     can exceed clamp_len (static given q0/k0 bounds); skipping the clamp
     select + per-query far dot on the many blocks that can't saves real VPU
     time -- masked-block elementwise work is the kernel's hot spot."""
-    s = jax.lax.dot_general(rw, kb, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    bd = jax.lax.dot_general(u, vkb, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    s = _dotT(rw, kb)
+    bd = _dotT(u0, vkc) + _dotT(u1, vks)
     if not masked:
         return (s + bd) * scale, None
     qpos = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + (M + q0)
@@ -91,34 +127,42 @@ def _score_block(rw, u, kb, vkb, far_col, q0, k0, M, scale, clamp_len,
     if with_far:
         bd = jnp.where(d > clamp_len, far_col, bd)
     s = (s + bd) * scale
-    valid = (d >= 0) & (kpos >= (M - mem_valid))
+    valid = d >= 0
+    if M > 0:  # memory-validity check statically impossible when M == 0
+        valid &= kpos >= (M - mem_valid)
     return jnp.where(valid, s, NEG_INF), d
 
 
-def _far_col(u, vkl):
+def _far_col(u0, u1, vklc, vkls):
     """Clamped-distance bias per query: rowwise dot U[q] . VkL[q] -> [bq, 1]."""
-    return jnp.sum(u.astype(jnp.float32) * vkl.astype(jnp.float32),
+    return jnp.sum(u0.astype(jnp.float32) * vklc.astype(jnp.float32)
+                   + u1.astype(jnp.float32) * vkls.astype(jnp.float32),
                    axis=1, keepdims=True)
 
 
 def _make_fwd(M, scale, clamp_len, bq, bk, n_kb, H, out_dtype):
-    def kernel(mv_ref, rw_ref, u_ref, k_ref, v_ref, vk_ref, vkl_ref,
-               o_ref, acc, m_i, l_i):
+    def kernel(mv_ref, rw_ref, rr_ref, k_ref, v_ref, wrs_ref, wrc_ref,
+               sq_ref, cq_ref, vkc_ref, vks_ref, vklc_ref, vkls_ref,
+               o_ref, u0_s, u1_s, acc, m_i, l_i):
         ki, qi = pl.program_id(2), pl.program_id(1)
         q0, k0 = qi * bq, ki * bk
 
         @pl.when(ki == 0)
         def _():
+            u0, u1 = _build_u(rr_ref, wrs_ref, wrc_ref, sq_ref, cq_ref,
+                              out_dtype)
+            u0_s[:] = u0
+            u1_s[:] = u1
             acc[:] = jnp.zeros_like(acc)
             m_i[:] = jnp.full_like(m_i, NEG_INF)
             l_i[:] = jnp.zeros_like(l_i)
 
         def _update(masked, with_far=True):
-            far = (_far_col(u_ref[0], vkl_ref[:])
+            far = (_far_col(u0_s[:], u1_s[:], vklc_ref[:], vkls_ref[:])
                    if masked and with_far else None)
             s, _ = _score_block(
-                rw_ref[0], u_ref[0], k_ref[0], vk_ref[:], far,
-                q0, k0, M, scale, clamp_len, mv_ref[0], bq, bk, masked,
+                rw_ref[0], u0_s[:], u1_s[:], k_ref[0], vkc_ref[:], vks_ref[:],
+                far, q0, k0, M, scale, clamp_len, mv_ref[0], bq, bk, masked,
                 with_far=with_far)
             m_prev = m_i[:]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -163,64 +207,75 @@ def _make_fwd(M, scale, clamp_len, bq, bk, n_kb, H, out_dtype):
     return kernel
 
 
-def _make_bwd_fused(M, scale, clamp_len, bq, bk, n_kb, H, grad_dtype):
+def _make_bwd_fused(M, scale, clamp_len, bq, bk, n_qb, n_kb, H, grad_dtype):
     """Grid (BN, n_qb, n_kb), k minor: ONE score recompute per block pair.
 
-    drw/du accumulate in scratch across the k sweep; dk/dv contributions are
-    written directly as per-q-block PARTIALS (each (qi, ki) output block is
-    visited exactly once, so there is no revisit-order conflict) and summed
-    over the small n_qb axis outside the kernel.
-    """
-    def kernel(mv_ref, rw_ref, u_ref, k_ref, v_ref, vk_ref, vkl_ref,
-               dod_ref, drw_ref, du_ref, dkp_ref, dvp_ref, drw_acc, du_acc):
+    drw/dU accumulate in scratch across the k sweep; at each q-block's last k
+    step dU converts to drr (and dW_r partials accumulate across the q sweep).
+    dk/dv accumulate straight into their full-[S, H] output blocks, which stay
+    resident in VMEM for the whole (b) window (index map ignores i/j)."""
+    def kernel(mv_ref, rw_ref, rr_ref, k_ref, v_ref, wrs_ref, wrc_ref,
+               sq_ref, cq_ref, vkc_ref, vks_ref, vklc_ref, vkls_ref,
+               dod_ref, drw_ref, drr_ref, dk_ref, dv_ref, dwrs_ref, dwrc_ref,
+               u0_s, u1_s, drw_acc, du0_acc, du1_acc, dwrs_acc, dwrc_acc):
         ki, qi = pl.program_id(2), pl.program_id(1)
         q0, k0 = qi * bq, ki * bk
 
+        @pl.when((qi == 0) & (ki == 0))
+        def _():
+            dk_ref[0] = jnp.zeros_like(dk_ref[0])
+            dv_ref[0] = jnp.zeros_like(dv_ref[0])
+            dwrs_acc[:] = jnp.zeros_like(dwrs_acc)
+            dwrc_acc[:] = jnp.zeros_like(dwrc_acc)
+
         @pl.when(ki == 0)
         def _():
+            u0, u1 = _build_u(rr_ref, wrs_ref, wrc_ref, sq_ref, cq_ref,
+                              grad_dtype)
+            u0_s[:] = u0
+            u1_s[:] = u1
             drw_acc[:] = jnp.zeros_like(drw_acc)
-            du_acc[:] = jnp.zeros_like(du_acc)
+            du0_acc[:] = jnp.zeros_like(du0_acc)
+            du1_acc[:] = jnp.zeros_like(du1_acc)
 
         def _update(masked, with_far=True):
-            far = (_far_col(u_ref[0], vkl_ref[:])
+            far = (_far_col(u0_s[:], u1_s[:], vklc_ref[:], vkls_ref[:])
                    if masked and with_far else None)
             s, d = _score_block(
-                rw_ref[0], u_ref[0], k_ref[0], vk_ref[:], far,
-                q0, k0, M, scale, clamp_len, mv_ref[0], bq, bk, masked,
+                rw_ref[0], u0_s[:], u1_s[:], k_ref[0], vkc_ref[:], vks_ref[:],
+                far, q0, k0, M, scale, clamp_len, mv_ref[0], bq, bk, masked,
                 with_far=with_far)
             dod = dod_ref[0].astype(jnp.float32)               # [bq, P]
             lse = dod[:, H:H + 1]
             delta = dod[:, H + 1:H + 2]
             do = dod[:, :H].astype(grad_dtype)
             p = jnp.exp(s - lse)
-            dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+            dp = _dotT(do, v_ref[0])
             ds = p * (dp - delta) * scale                      # [bq, bk] f32
-            drw_acc[:] += jax.lax.dot_general(
-                ds.astype(grad_dtype), k_ref[0], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            # k/v-side partials for this block pair
-            dvp_ref[0, 0] = jax.lax.dot_general(
+            dsg = ds.astype(grad_dtype)
+            drw_acc[:] += _dot(dsg, k_ref[0])
+            # k/v-side contributions accumulate into the resident [S, H] block
+            dvb = jax.lax.dot_general(
                 p.astype(grad_dtype), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dvp_ref.dtype)
-            dkp_ref[0, 0] = jax.lax.dot_general(
-                ds.astype(grad_dtype), rw_ref[0], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dkp_ref.dtype)
+                preferred_element_type=jnp.float32)
+            dkb = jax.lax.dot_general(
+                dsg, rw_ref[0], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dv_ref[0, pl.ds(k0, bk), :] += dvb.astype(dv_ref.dtype)
+            dk_ref[0, pl.ds(k0, bk), :] += dkb.astype(dk_ref.dtype)
             if masked and with_far:
                 is_far = d > clamp_len
-                ds_near = jnp.where(is_far, 0.0, ds)
-                du_acc[:] += jax.lax.dot_general(
-                    ds_near.astype(grad_dtype), vk_ref[:],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                dsn = jnp.where(is_far, 0.0, ds).astype(grad_dtype)
+                du0_acc[:] += _dot(dsn, vkc_ref[:])
+                du1_acc[:] += _dot(dsn, vks_ref[:])
                 # clamped-bias grad flows through U: dU += dfar * VkL
                 dfar = jnp.sum(jnp.where(is_far, ds, 0.0), axis=1,
                                keepdims=True)
-                du_acc[:] += dfar * vkl_ref[:].astype(jnp.float32)
+                du0_acc[:] += dfar * vklc_ref[:].astype(jnp.float32)
+                du1_acc[:] += dfar * vkls_ref[:].astype(jnp.float32)
             else:
-                du_acc[:] += jax.lax.dot_general(
-                    ds.astype(grad_dtype), vk_ref[:], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                du0_acc[:] += _dot(dsg, vkc_ref[:])
+                du1_acc[:] += _dot(dsg, vks_ref[:])
 
         visited = k0 <= M + q0 + bq - 1
         interior = _interior(q0, k0, M, clamp_len, mv_ref[0], bq, bk)
@@ -239,35 +294,55 @@ def _make_bwd_fused(M, scale, clamp_len, bq, bk, n_kb, H, grad_dtype):
         def _():
             _update(masked=True, with_far=False)
 
-        @pl.when(jnp.logical_not(visited))
-        def _():
-            # every (qi, ki) partial block is written exactly once
-            dkp_ref[0, 0] = jnp.zeros_like(dkp_ref[0, 0])
-            dvp_ref[0, 0] = jnp.zeros_like(dvp_ref[0, 0])
-
         @pl.when(ki == n_kb - 1)
         def _():
+            # dU -> (dgs, dgc) -> drr; dW_r partials accumulate over q blocks
+            sq = sq_ref[:].astype(jnp.float32)
+            cq = cq_ref[:].astype(jnp.float32)
+            dgs = (du0_acc[:] * sq - du1_acc[:] * cq).astype(grad_dtype)
+            dgc = (du0_acc[:] * cq + du1_acc[:] * sq).astype(grad_dtype)
+            drr_ref[0] = (_dot(dgs, wrs_ref[0])
+                          + _dot(dgc, wrc_ref[0])).astype(drr_ref.dtype)
             drw_ref[0] = drw_acc[:].astype(drw_ref.dtype)
-            du_ref[0] = du_acc[:].astype(du_ref.dtype)
+            rr = rr_ref[0]
+            dwrs_acc[:] += jax.lax.dot_general(
+                dgs, rr, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dwrc_acc[:] += jax.lax.dot_general(
+                dgc, rr, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when((qi == n_qb - 1) & (ki == n_kb - 1))
+        def _():
+            dwrs_ref[0] = dwrs_acc[:].astype(dwrs_ref.dtype)
+            dwrc_ref[0] = dwrc_acc[:].astype(dwrc_ref.dtype)
     return kernel
 
 
 # ------------------------------------------------------------- pallas calls
-def _in_specs(bq, bk, H, D):
+def _in_specs(bq, bk, H, F, N):
+    def head(b, i, j, mv):
+        return (b % N, 0, 0)
     return [
         pl.BlockSpec((1, bq, H), lambda b, i, j, mv: (b, i, 0)),    # rw
-        pl.BlockSpec((1, bq, D), lambda b, i, j, mv: (b, i, 0)),    # u
+        pl.BlockSpec((1, bq, H), lambda b, i, j, mv: (b, i, 0)),    # rr
         pl.BlockSpec((1, bk, H), lambda b, i, j, mv: (b, j, 0)),    # k
         pl.BlockSpec((1, bk, H), lambda b, i, j, mv: (b, j, 0)),    # v
-        pl.BlockSpec((bk, D), lambda b, i, j, mv: (j, 0)),          # vk
-        pl.BlockSpec((bq, D), lambda b, i, j, mv: (i, 0)),          # vkl
+        pl.BlockSpec((1, F, H), head),                              # wrs
+        pl.BlockSpec((1, F, H), head),                              # wrc
+        pl.BlockSpec((bq, F), lambda b, i, j, mv: (i, 0)),          # sq
+        pl.BlockSpec((bq, F), lambda b, i, j, mv: (i, 0)),          # cq
+        pl.BlockSpec((bk, F), lambda b, i, j, mv: (j, 0)),          # vkc
+        pl.BlockSpec((bk, F), lambda b, i, j, mv: (j, 0)),          # vks
+        pl.BlockSpec((bq, F), lambda b, i, j, mv: (i, 0)),          # vklc
+        pl.BlockSpec((bq, F), lambda b, i, j, mv: (i, 0)),          # vkls
     ]
 
 
-def _fwd_call(rw3, u3, k3, v3, vk, vkl, mem_valid, *, M, scale, clamp_len,
-              bq, bk, interpret=False):
+def _fwd_call(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
+              mem_valid, *, M, scale, clamp_len, bq, bk, interpret=False):
     BN, T, H = rw3.shape
-    D = u3.shape[-1]
+    N, F, _ = wrs.shape
     S = k3.shape[1]
     n_qb, n_kb = T // bq, S // bk
     P = _pad_to(H)
@@ -276,9 +351,11 @@ def _fwd_call(rw3, u3, k3, v3, vk, vkl, mem_valid, *, M, scale, clamp_len,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BN, n_qb, n_kb),
-        in_specs=_in_specs(bq, bk, H, D),
+        in_specs=_in_specs(bq, bk, H, F, N),
         out_specs=pl.BlockSpec((1, bq, P), lambda b, i, j, mv: (b, i, 0)),
         scratch_shapes=[
+            pltpu.VMEM((bq, F), rw3.dtype),
+            pltpu.VMEM((bq, F), rw3.dtype),
             pltpu.VMEM((bq, H), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -287,38 +364,45 @@ def _fwd_call(rw3, u3, k3, v3, vk, vkl, mem_valid, *, M, scale, clamp_len,
     packed = pl.pallas_call(
         kernel, grid_spec=grid_spec, interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((BN, T, P), rw3.dtype),
-    )(mv, rw3, u3, k3, v3, vk, vkl)
+    )(mv, rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls)
     return packed
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
-def flash_rel_attn(rw3, u3, k3, v3, vk, vkl, mem_valid,
-                   M, scale, clamp_len, bq, bk, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17, 18))
+def flash_rel_attn(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
+                   mem_valid, M, scale, clamp_len, bq, bk, interpret):
     """Fused TF-XL attention core.
 
-    rw3: [BN, T, H] queries + r_w_bias.        u3: [BN, T, D] factor U.
-    k3/v3: [BN, S, H] (S = M + T with memory). vk: [S, D] position factor.
-    vkl: [T, D] position factor at the clamp distance (Vk[(M+q)-clamp_len]).
+    rw3/rr3: [BN, T, H] queries + r_w_bias / r_r_bias.
+    k3/v3:   [BN, S, H] (S = M + T with memory).
+    wrs/wrc: [N, F, H] sin/cos halves of the positional projection W_r.
+    sq/cq:   [T, F] sin/cos((M+q) w) current-position tables.
+    vkc/vks: [S, F] cos/sin(k w) key-position tables.
+    vklc/vkls: [T, F] the same evaluated at the clamp distance (Vk[(M+q)-L]).
     mem_valid: f32 scalar.  Returns ctx [BN, T, H].
     """
-    packed = _fwd_call(rw3, u3, k3, v3, vk, vkl, mem_valid, M=M, scale=scale,
-                       clamp_len=clamp_len, bq=bq, bk=bk, interpret=interpret)
+    packed = _fwd_call(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc,
+                       vkls, mem_valid, M=M, scale=scale, clamp_len=clamp_len,
+                       bq=bq, bk=bk, interpret=interpret)
     return packed[..., :rw3.shape[-1]]
 
 
-def _flash_fwd(rw3, u3, k3, v3, vk, vkl, mem_valid,
-               M, scale, clamp_len, bq, bk, interpret):
-    packed = _fwd_call(rw3, u3, k3, v3, vk, vkl, mem_valid, M=M, scale=scale,
-                       clamp_len=clamp_len, bq=bq, bk=bk, interpret=interpret)
+def _flash_fwd(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
+               mem_valid, M, scale, clamp_len, bq, bk, interpret):
+    packed = _fwd_call(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc,
+                       vkls, mem_valid, M=M, scale=scale, clamp_len=clamp_len,
+                       bq=bq, bk=bk, interpret=interpret)
     H = rw3.shape[-1]
     out = packed[..., :H]
-    return out, (rw3, u3, k3, v3, vk, vkl, mem_valid, packed)
+    return out, (rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
+                 mem_valid, packed)
 
 
 def _flash_bwd(M, scale, clamp_len, bq, bk, interpret, res, g):
-    rw3, u3, k3, v3, vk, vkl, mem_valid, packed = res
+    (rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
+     mem_valid, packed) = res
     BN, T, H = rw3.shape
-    D = u3.shape[-1]
+    N, F, _ = wrs.shape
     S = k3.shape[1]
     n_qb, n_kb = T // bq, S // bk
     P = _pad_to(H)
@@ -334,37 +418,50 @@ def _flash_bwd(M, scale, clamp_len, bq, bk, interpret, res, g):
         jnp.zeros((BN, T, P - H - 2), jnp.float32)], axis=-1).astype(rw3.dtype)
     mv = jnp.asarray(mem_valid, jnp.float32).astype(jnp.int32).reshape(1)
 
-    kf = _make_bwd_fused(M, scale, clamp_len, bq, bk, n_kb, H, rw3.dtype)
-    drw, du, dkp, dvp = pl.pallas_call(
+    kf = _make_bwd_fused(M, scale, clamp_len, bq, bk, n_qb, n_kb, H,
+                         rw3.dtype)
+    drw, drr, dk, dv, dwrs, dwrc = pl.pallas_call(
         kf,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(BN, n_qb, n_kb),
-            in_specs=_in_specs(bq, bk, H, D) + [
+            in_specs=_in_specs(bq, bk, H, F, N) + [
                 pl.BlockSpec((1, bq, P), lambda b, i, j, mv: (b, i, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, bq, H), lambda b, i, j, mv: (b, i, 0)),
-                pl.BlockSpec((1, bq, D), lambda b, i, j, mv: (b, i, 0)),
-                pl.BlockSpec((1, 1, bk, H), lambda b, i, j, mv: (b, i, j, 0)),
-                pl.BlockSpec((1, 1, bk, H), lambda b, i, j, mv: (b, i, j, 0)),
+                pl.BlockSpec((1, bq, H), lambda b, i, j, mv: (b, i, 0)),
+                pl.BlockSpec((1, S, H), lambda b, i, j, mv: (b, 0, 0)),
+                pl.BlockSpec((1, S, H), lambda b, i, j, mv: (b, 0, 0)),
+                pl.BlockSpec((1, F, H), lambda b, i, j, mv: (b, 0, 0)),
+                pl.BlockSpec((1, F, H), lambda b, i, j, mv: (b, 0, 0)),
             ],
             scratch_shapes=[
+                pltpu.VMEM((bq, F), rw3.dtype),
+                pltpu.VMEM((bq, F), rw3.dtype),
                 pltpu.VMEM((bq, H), jnp.float32),
-                pltpu.VMEM((bq, D), jnp.float32),
+                pltpu.VMEM((bq, F), jnp.float32),
+                pltpu.VMEM((bq, F), jnp.float32),
+                pltpu.VMEM((F, H), jnp.float32),
+                pltpu.VMEM((F, H), jnp.float32),
             ],
         ),
         interpret=interpret,
         out_shape=[
             jax.ShapeDtypeStruct((BN, T, H), rw3.dtype),
-            jax.ShapeDtypeStruct((BN, T, D), rw3.dtype),
-            jax.ShapeDtypeStruct((BN, n_qb, S, H), rw3.dtype),
-            jax.ShapeDtypeStruct((BN, n_qb, S, H), rw3.dtype),
+            jax.ShapeDtypeStruct((BN, T, H), rw3.dtype),
+            jax.ShapeDtypeStruct((BN, S, H), jnp.float32),
+            jax.ShapeDtypeStruct((BN, S, H), jnp.float32),
+            jax.ShapeDtypeStruct((BN, F, H), jnp.float32),
+            jax.ShapeDtypeStruct((BN, F, H), jnp.float32),
         ],
-    )(mv, rw3, u3, k3, v3, vk, vkl, dod)
-    dk = jnp.sum(dkp.astype(jnp.float32), axis=1).astype(rw3.dtype)
-    dv = jnp.sum(dvp.astype(jnp.float32), axis=1).astype(rw3.dtype)
+    )(mv, rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls, dod)
+    B = BN // N
+    dwrs_h = jnp.sum(dwrs.reshape(B, N, F, H), axis=0).astype(wrs.dtype)
+    dwrc_h = jnp.sum(dwrc.reshape(B, N, F, H), axis=0).astype(wrc.dtype)
 
-    return (drw, du, dk, dv, jnp.zeros_like(vk), jnp.zeros_like(vkl),
+    z = jnp.zeros_like
+    return (drw, drr, dk.astype(k3.dtype), dv.astype(v3.dtype),
+            dwrs_h, dwrc_h, z(sq), z(cq), z(vkc), z(vks), z(vklc), z(vkls),
             jnp.zeros((), jnp.float32))
 
 
@@ -376,7 +473,7 @@ def _sin_cos(pos: jnp.ndarray, d_model: int):
     inv = 1.0 / (10000.0 ** (jnp.arange(0, d_model, 2, dtype=jnp.float32)
                              / d_model))
     ang = pos.astype(jnp.float32)[:, None] * inv[None]
-    return jnp.sin(ang), jnp.cos(ang)           # each [len, D/2]
+    return jnp.sin(ang), jnp.cos(ang)           # each [len, F]
 
 
 def fused_rel_attn(
@@ -416,31 +513,26 @@ def fused_rel_attn(
     rw = q + p['r_w_bias'].astype(dtype)
     rr = q + p['r_r_bias'].astype(dtype)
 
-    # BD factors (see module docstring); the whole chain stays in the compute
-    # dtype -- f32 intermediates here are [B,N,T,F] tensors whose HBM traffic
-    # would rival the attention kernel itself
+    # positional tables + per-head W_r halves (the U factors are built inside
+    # the kernel; see module docstring)
     Wr = p['r'].astype(dtype)                               # [D, N, H]
-    gs = jnp.einsum('btnh,fnh->bntf', rr, Wr[:F],
-                    preferred_element_type=jnp.float32).astype(dtype)
-    gc = jnp.einsum('btnh,fnh->bntf', rr, Wr[F:],
-                    preferred_element_type=jnp.float32).astype(dtype)
-    sin_q, cos_q = _sin_cos(jnp.arange(M, M + T), d_model)  # [T, F]
-    sin_q, cos_q = sin_q.astype(dtype), cos_q.astype(dtype)
-    u = jnp.concatenate([gs * sin_q + gc * cos_q,
-                         -gs * cos_q + gc * sin_q], axis=-1)  # [B,N,T,D]
-    sin_k, cos_k = _sin_cos(jnp.arange(S), d_model)
-    vk = jnp.concatenate([cos_k, sin_k], axis=-1).astype(dtype)   # [S, D]
-    sin_l, cos_l = _sin_cos(jnp.arange(M, M + T) - clamp_len, d_model)
-    vkl = jnp.concatenate([cos_l, sin_l], axis=-1).astype(dtype)  # [T, D]
+    wrs = Wr[:F].transpose(1, 0, 2)                         # [N, F, H]
+    wrc = Wr[F:].transpose(1, 0, 2)
+    sq, cq = _sin_cos(jnp.arange(M, M + T), d_model)        # [T, F]
+    sq, cq = sq.astype(dtype), cq.astype(dtype)
+    vks, vkc = _sin_cos(jnp.arange(S), d_model)             # [S, F]
+    vks, vkc = vks.astype(dtype), vkc.astype(dtype)
+    vkls, vklc = _sin_cos(jnp.arange(M, M + T) - clamp_len, d_model)
+    vkls, vklc = vkls.astype(dtype), vklc.astype(dtype)
 
     BN = B * n_head
     rw3 = rw.transpose(0, 2, 1, 3).reshape(BN, T, d_head)
+    rr3 = rr.transpose(0, 2, 1, 3).reshape(BN, T, d_head)
     k3 = k.transpose(0, 2, 1, 3).reshape(BN, S, d_head)
     v3 = v.transpose(0, 2, 1, 3).reshape(BN, S, d_head)
-    u3 = u.reshape(BN, T, d_model)
 
-    ctx3 = flash_rel_attn(rw3, u3, k3, v3, vk, vkl,
-                          jnp.asarray(mem_valid, jnp.float32),
+    ctx3 = flash_rel_attn(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks,
+                          vklc, vkls, jnp.asarray(mem_valid, jnp.float32),
                           M, scale, int(clamp_len), bq, bk, interpret)
     ctx = ctx3.reshape(B, n_head, T, d_head).transpose(0, 2, 1, 3)
     out = jnp.einsum('bqnh,nhd->bqd', ctx, p['o'].astype(dtype),
