@@ -165,8 +165,18 @@ def rel_attn_decode_step(
     re-projects ALL memory slots to k/v every step.  In TF-XL the key content
     term is position-independent (position enters only through the separate
     BD term), so caching k/v directly is exact and removes that O(M*d^2)
-    re-projection per layer per token; only a tiny [M+1, d] sinusoid for the
-    per-slot distances is rebuilt each step.
+    re-projection per layer per token.
+
+    Per-step cost discipline (the decode scan is HBM-latency-bound):
+      * the cache is attended IN PLACE -- no [B, M+1, N, H] concat copy of
+        the ring buffers per layer per step (measured ~50 MB/layer/step of
+        pure memcpy at 64-way base decode); the current token's attention
+        score/value ride as a separate length-1 term;
+      * the positional projection uses a distance-indexed table
+        R_head[d] = W_r^T R(d), d in [0, clamp_len]: the table depends only
+        on params, so XLA hoists it out of the decode scan, and each step
+        pays one [M] row gather instead of an [M+1, d_model] sinusoid +
+        einsum re-projection.
 
     x:         [B, 1, d_model] current token hidden (input to this layer).
     cache_k/v: [B, M, n_head, d_head] ring buffers.
@@ -179,35 +189,46 @@ def rel_attn_decode_step(
     B, _, d_model = x.shape
     n_head, d_head = p['r_w_bias'].shape
     scale = scale if scale is not None else 1.0 / (d_head ** 0.5)
+    M = cache_k.shape[1]
 
     inp = x
     if pre_lnorm:
         x = layer_norm(p['ln'], x)
 
     q, k_cur, v_cur = _project_qkv(p, x, 1, dtype)                       # all [B,1,N,H]
-    k = jnp.concatenate([cache_k.astype(dtype), k_cur], axis=1)          # [B,M+1,N,H]
-    v = jnp.concatenate([cache_v.astype(dtype), v_cur], axis=1)
 
-    pos = jnp.concatenate([cache_pos, step[None]])                       # [M+1]
-    dist = (step - pos).astype(jnp.float32)
-    if clamp_len > 0:
-        dist = jnp.minimum(dist, float(clamp_len))
-    r = sinusoid_pos_emb(dist, d_model, dtype)                           # [M+1, d]
-    r_head = jnp.einsum('kd,dnh->knh', r, p['r'].astype(dtype),
-                        preferred_element_type=jnp.float32).astype(dtype)
+    # distance-indexed positional table (loop-invariant: hoisted out of the
+    # decode scan by XLA); clamp folds distances > clamp_len onto the last row
+    C = int(clamp_len) if clamp_len > 0 else M
+    r_all = sinusoid_pos_emb(jnp.arange(C + 1, dtype=jnp.float32), d_model,
+                             dtype)                                      # [C+1, d]
+    r_head_all = jnp.einsum('kd,dnh->knh', r_all, p['r'].astype(dtype),
+                            preferred_element_type=jnp.float32).astype(dtype)
+    idx = jnp.clip(step - cache_pos, 0, C)                               # [M]
+    r_head = r_head_all[idx]                                             # [M, N, H]
 
     rw = q + p['r_w_bias'].astype(dtype)
     rr = q + p['r_r_bias'].astype(dtype)
-    AC = jnp.einsum('bqnh,bknh->bnqk', rw, k, preferred_element_type=jnp.float32)
-    BD = jnp.einsum('bqnh,knh->bnqk', rr, r_head, preferred_element_type=jnp.float32)
-    score = (AC + BD) * scale                                            # [B,N,1,M+1]
+    kc = cache_k.astype(dtype)
+    AC = jnp.einsum('bqnh,bknh->bnqk', rw, kc,
+                    preferred_element_type=jnp.float32)                  # [B,N,1,M]
+    BD = jnp.einsum('bqnh,knh->bnqk', rr, r_head,
+                    preferred_element_type=jnp.float32)
+    score_c = (AC + BD) * scale
+    score_c = jnp.where((cache_pos >= 0)[None, None, None, :], score_c,
+                        NEG_INF)
+    # current token: distance 0, always valid
+    s_self = (jnp.sum(rw * k_cur, axis=-1)                               # [B,1,N]
+              + jnp.einsum('bqnh,nh->bqn', rr, r_head_all[0])
+              ).transpose(0, 2, 1)[..., None] * scale                    # [B,N,1,1]
+    score = jnp.concatenate([score_c, s_self], axis=-1)                  # [B,N,1,M+1]
 
-    valid = jnp.concatenate([cache_pos >= 0, jnp.array([True])])         # [M+1]
-    score = jnp.where(valid[None, None, None, :], score, NEG_INF)
     probs = jax.nn.softmax(score, axis=-1).astype(dtype)
-
-    ctx = jnp.einsum('bnqk,bknh->bqnh', probs, v,
-                     preferred_element_type=jnp.float32).astype(dtype)
+    ctx = jnp.einsum('bnqk,bknh->bqnh', probs[..., :M], cache_v.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    p_self = probs[..., M].transpose(0, 2, 1)[..., None]     # [B,1,N,1]
+    ctx = (ctx + p_self.astype(jnp.float32)
+           * v_cur.astype(jnp.float32)).astype(dtype)
     out = jnp.einsum('bqnh,nhd->bqd', ctx, p['o'].astype(dtype),
                      preferred_element_type=jnp.float32).astype(dtype)
     out = inp + out
