@@ -75,65 +75,45 @@ def local_attention(
     return out.reshape(B, H, T, D)
 
 
-def _hash_vectors(x: jnp.ndarray, n_buckets: int, rot: jnp.ndarray) -> jnp.ndarray:
-    """x [T, D], rot [D, n_buckets//2] -> int32 [T] bucket ids (argmax of
-    [proj; -proj], the angular-LSH scheme)."""
-    proj = jnp.einsum('td,db->tb', x.astype(jnp.float32), rot)
-    return jnp.argmax(jnp.concatenate([proj, -proj], axis=-1), axis=-1).astype(jnp.int32)
+@jax.custom_vjp
+def _gather_rounds(x: jnp.ndarray, idx: jnp.ndarray, inv: jnp.ndarray):
+    """x [G, T, C] gathered into per-round sorted order -> [G, R, T, C].
+
+    idx/inv [G, R, T] are mutually inverse PERMUTATIONS, so the VJP is the
+    inverse-permutation gather summed over rounds -- XLA's generic gather
+    VJP would emit scatter-adds, which are far slower on TPU."""
+    return jnp.take_along_axis(x[:, None], idx[..., None], axis=-2)
 
 
-def _lsh_one_round(qk: jnp.ndarray, v: jnp.ndarray, buckets: jnp.ndarray,
-                   chunk: int, pad_mask: Optional[jnp.ndarray]):
-    """Single-hash LSH attention for ONE sequence.
+def _gather_rounds_fwd(x, idx, inv):
+    return _gather_rounds(x, idx, inv), (idx, inv)
 
-    qk [T, D] shared query/key, v [T, D], buckets int32 [T].
-    Returns (out [T, D], logsumexp [T]) in original order.
-    """
-    T, D = qk.shape
-    n = T // chunk
-    t = jnp.arange(T, dtype=jnp.int32)
-    # stable sort by (bucket, position): one permutation groups buckets while
-    # keeping chronological order inside each bucket
-    s_idx = jnp.argsort(buckets * T + t)                    # [T]
-    undo = jnp.argsort(s_idx)
 
-    qk_s = qk[s_idx]
-    v_s = v[s_idx]
-    pos_s = t[s_idx]
-    bkt_s = buckets[s_idx]
+def _gather_rounds_bwd(res, g):
+    idx, inv = res
+    gx = jnp.take_along_axis(g, inv[..., None], axis=-2)     # original order
+    return jnp.sum(gx, axis=1), None, None
 
-    # normalized keys (shared-QK Reformer: key = qk / ||qk||)
-    k_s = qk_s / jnp.maximum(
-        jnp.linalg.norm(qk_s.astype(jnp.float32), axis=-1, keepdims=True),
-        1e-6).astype(qk.dtype)
 
-    qc = qk_s.reshape(n, chunk, D)
-    kc = _look_back(k_s.reshape(n, chunk, D))               # [n, 2c, D]
-    vc = _look_back(v_s.reshape(n, chunk, D))
-    pc = pos_s.reshape(n, chunk)
-    kp = _look_back_ids(pc, -1)                             # key original pos
-    bq = bkt_s.reshape(n, chunk)
-    bk = _look_back_ids(bq, -1)
+_gather_rounds.defvjp(_gather_rounds_fwd, _gather_rounds_bwd)
 
-    scale = 1.0 / (D ** 0.5)
-    score = jnp.einsum('ncd,nkd->nck', qc, kc,
-                       preferred_element_type=jnp.float32) * scale
-    causal = kp[:, None, :] <= pc[:, :, None]
-    valid = (kp >= 0)[:, None, :]
-    self_m = kp[:, None, :] == pc[:, :, None]
-    mask = causal & valid
-    if pad_mask is not None:
-        pm_s = pad_mask[s_idx].reshape(n, chunk)
-        kpm = _look_back_ids(pm_s.astype(jnp.int32), 0)
-        mask = mask & (kpm[:, None, :] > 0)
-    score = jnp.where(mask, score, NEG_INF)
-    score = jnp.where(self_m, score + SELF_BIAS, score)     # self only if alone
 
-    lse = jax.nn.logsumexp(score, axis=-1)                  # [n, c]
-    probs = jnp.exp(score - lse[..., None]).astype(qk.dtype)
-    out_s = jnp.einsum('nck,nkd->ncd', probs, vc,
-                       preferred_element_type=jnp.float32).astype(qk.dtype)
-    return out_s.reshape(T, D)[undo], lse.reshape(T)[undo]
+@jax.custom_vjp
+def _unpermute_rounds(y: jnp.ndarray, idx: jnp.ndarray, inv: jnp.ndarray):
+    """y [G, R, T, C] per-round sorted order -> original order (same shape)."""
+    return jnp.take_along_axis(y, inv[..., None], axis=-2)
+
+
+def _unpermute_rounds_fwd(y, idx, inv):
+    return _unpermute_rounds(y, idx, inv), (idx, inv)
+
+
+def _unpermute_rounds_bwd(res, g):
+    idx, inv = res
+    return jnp.take_along_axis(g, idx[..., None], axis=-2), None, None
+
+
+_unpermute_rounds.defvjp(_unpermute_rounds_fwd, _unpermute_rounds_bwd)
 
 
 def lsh_attention(
@@ -146,32 +126,72 @@ def lsh_attention(
     qk/v: [B, H, T, D] with T % chunk == 0.  rng_rot: PRNG key for the random
     rotations (fixed per call; pass a fold of (layer, step) for determinism).
     Rounds are combined with logsumexp weights (the Reformer estimator).
+
+    All hash rounds ride one extra batch axis (no per-round python loop), the
+    qk/v rows move through ONE fused [T, 2D] permutation gather, and every
+    permutation has a custom VJP (inverse gather) so the backward pass never
+    scatter-adds -- measured 89 -> ~35 ms/layer f+b at base/2048 on v5e.
     """
     B, H, T, D = qk.shape
     assert T % chunk == 0 and n_buckets % 2 == 0
-    rots = jax.random.normal(rng_rot, (n_hashes, D, n_buckets // 2), jnp.float32)
+    R, G, n = n_hashes, B * H, T // chunk
+    scale = 1.0 / (D ** 0.5)
+    rots = jax.random.normal(rng_rot, (R, D, n_buckets // 2), jnp.float32)
 
-    def per_seq(qk1, v1, pm1):
-        outs, lses = [], []
-        for r in range(n_hashes):
-            buckets = _hash_vectors(qk1, n_buckets, rots[r])
-            if pm1 is not None:
-                # padding goes to a trailing pseudo-bucket so pad CONTENT can
-                # never shift real tokens across sorted-chunk boundaries
-                buckets = jnp.where(pm1, buckets, n_buckets)
-            o, l = _lsh_one_round(qk1, v1, buckets, chunk, pm1)
-            outs.append(o)
-            lses.append(l)
-        out = jnp.stack(outs)                               # [R, T, D]
-        lse = jnp.stack(lses)                               # [R, T]
-        w = jax.nn.softmax(lse, axis=0)[..., None].astype(qk1.dtype)
-        return jnp.sum(out * w, axis=0)
+    x = qk.reshape(G, T, D)
+    vv = v.reshape(G, T, D)
 
-    flat_qk = qk.reshape(B * H, T, D)
-    flat_v = v.reshape(B * H, T, D)
+    # angular LSH over all rounds at once: argmax of [proj; -proj]
+    proj = jnp.einsum('gtd,rdb->grtb', x.astype(jnp.float32), rots)
+    buckets = jnp.argmax(jnp.concatenate([proj, -proj], axis=-1),
+                         axis=-1).astype(jnp.int32)          # [G, R, T]
+    pm = None
     if pad_mask is not None:
-        pm = jnp.repeat(pad_mask, H, axis=0)                # [B*H, T]
-        out = jax.vmap(per_seq)(flat_qk, flat_v, pm)
-    else:
-        out = jax.vmap(lambda a, b: per_seq(a, b, None))(flat_qk, flat_v)
-    return out.reshape(B, H, T, D)
+        pm = jnp.repeat(pad_mask, H, axis=0)                 # [G, T]
+        # padding goes to a trailing pseudo-bucket so pad CONTENT can never
+        # shift real tokens across sorted-chunk boundaries
+        buckets = jnp.where(pm[:, None, :], buckets, n_buckets)
+
+    # stable sort by (bucket, position): one permutation groups buckets while
+    # keeping chronological order inside each bucket
+    t = jnp.arange(T, dtype=jnp.int32)
+    s_idx = jnp.argsort(buckets * T + t[None, None], axis=-1)   # [G, R, T]
+    undo = jnp.argsort(s_idx, axis=-1)
+
+    xs = _gather_rounds(jnp.concatenate([x, vv], axis=-1), s_idx, undo)
+    qk_s, v_s = xs[..., :D], xs[..., D:]                     # [G, R, T, D]
+    # normalized keys (shared-QK Reformer: key = qk / ||qk||)
+    k_s = qk_s / jnp.maximum(
+        jnp.linalg.norm(qk_s.astype(jnp.float32), axis=-1, keepdims=True),
+        1e-6).astype(qk.dtype)
+    pos_s = s_idx                                            # t[s_idx] == s_idx
+
+    qc = qk_s.reshape(G, R, n, chunk, D)
+    kc = _look_back(k_s.reshape(G, R, n, chunk, D))          # [G,R,n,2c,D]
+    vc = _look_back(v_s.reshape(G, R, n, chunk, D))
+    pc = pos_s.reshape(G, R, n, chunk)
+    kp = _look_back_ids(pc, -1)                              # key original pos
+
+    score = jnp.einsum('grncd,grnkd->grnck', qc, kc,
+                       preferred_element_type=jnp.float32) * scale
+    causal = kp[..., None, :] <= pc[..., :, None]            # [G,R,n,c,2c]
+    valid = (kp >= 0)[..., None, :]
+    self_m = kp[..., None, :] == pc[..., :, None]
+    mask = causal & valid
+    if pm is not None:
+        pm_b = jnp.broadcast_to(pm[:, None, :].astype(jnp.int32), (G, R, T))
+        pm_s = jnp.take_along_axis(pm_b, s_idx, axis=-1).reshape(G, R, n, chunk)
+        kpm = _look_back_ids(pm_s, 0)
+        mask = mask & (kpm[..., None, :] > 0)
+    score = jnp.where(mask, score, NEG_INF)
+    score = jnp.where(self_m, score + SELF_BIAS, score)      # self only if alone
+
+    lse = jax.nn.logsumexp(score, axis=-1)                   # [G,R,n,c]
+    probs = jnp.exp(score - lse[..., None]).astype(qk.dtype)
+    out_s = jnp.einsum('grnck,grnkd->grncd', probs, vc,
+                       preferred_element_type=jnp.float32).astype(qk.dtype)
+
+    out_o = _unpermute_rounds(out_s.reshape(G, R, T, D), s_idx, undo)
+    lse_o = _unpermute_rounds(lse.reshape(G, R, T, 1), s_idx, undo)[..., 0]
+    w = jax.nn.softmax(lse_o, axis=1)[..., None].astype(qk.dtype)
+    return jnp.sum(out_o * w, axis=1).reshape(B, H, T, D)
