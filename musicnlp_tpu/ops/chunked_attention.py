@@ -38,6 +38,17 @@ def _look_back_ids(t: jnp.ndarray, fill: int) -> jnp.ndarray:
     return jnp.concatenate([prev, t], axis=-1)
 
 
+def _kernel_ok(T: int, chunk: int, D: int) -> bool:
+    from musicnlp_tpu.ops.pallas.chunked_attention_kernel import (
+        chunked_attn_available)
+    if not chunked_attn_available(T, chunk, D):
+        return False
+    try:
+        return jax.devices()[0].platform == 'tpu'
+    except Exception:
+        return False
+
+
 def local_attention(
         q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *, chunk: int,
         pad_mask: Optional[jnp.ndarray] = None,
@@ -46,11 +57,30 @@ def local_attention(
 
     q/k/v: [B, H, T, D] with T % chunk == 0.  pad_mask: bool [B, T] True=real.
     Each query attends to keys in its own and the previous chunk, causally.
+    On TPU this runs as the fused window kernel (scores never hit HBM); the
+    jnp path below is the off-TPU fallback and the test oracle.
     """
     B, H, T, D = q.shape
     assert T % chunk == 0
     n = T // chunk
     scale = 1.0 / (D ** 0.5)
+
+    if _kernel_ok(T, chunk, D):
+        from musicnlp_tpu.ops.pallas.chunked_attention_kernel import (
+            chunked_window_attn)
+        G = B * H
+        t = jnp.arange(T, dtype=jnp.int32)
+        qpos = jnp.broadcast_to(t, (G, T))
+        if pad_mask is not None:
+            kp1 = jnp.where(pad_mask, t, T)                  # pad keys -> T
+            kpos = jnp.repeat(kp1, H, axis=0).astype(jnp.int32)
+        else:
+            kpos = qpos
+        ctx, _ = chunked_window_attn(
+            q.reshape(G, T, D), k.reshape(G, T, D), v.reshape(G, T, D),
+            qpos, kpos, chunk=chunk, scale=scale)
+        return ctx.reshape(B, H, T, D)
+
     pos = jnp.arange(T).reshape(n, chunk)
 
     qc = q.reshape(B, H, n, chunk, D)
@@ -75,6 +105,26 @@ def local_attention(
     return out.reshape(B, H, T, D)
 
 
+def _take_rows_3d(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x [G, T, C], idx [G, R, T] -> [G, R, T, C] via ONE flat row gather.
+
+    XLA lowers a flat [N, C] row gather ~4x faster on TPU than the
+    equivalent broadcasting `take_along_axis` (measured 1.9 vs 7.1 ms at
+    [384, 2048, 128] on v5e)."""
+    G, T, C = x.shape
+    g = jnp.arange(G, dtype=jnp.int32)[:, None, None]
+    flat = (g * T + idx).reshape(-1)
+    return x.reshape(G * T, C)[flat].reshape(*idx.shape, C)
+
+
+def _take_rows_4d(y: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """y [G, R, T, C], idx [G, R, T] -> per-(G,R) row gather, flat lowering."""
+    G, R, T, C = y.shape
+    gr = jnp.arange(G * R, dtype=jnp.int32).reshape(G, R, 1)
+    flat = (gr * T + idx).reshape(-1)
+    return y.reshape(G * R * T, C)[flat].reshape(G, R, T, C)
+
+
 @jax.custom_vjp
 def _gather_rounds(x: jnp.ndarray, idx: jnp.ndarray, inv: jnp.ndarray):
     """x [G, T, C] gathered into per-round sorted order -> [G, R, T, C].
@@ -82,7 +132,7 @@ def _gather_rounds(x: jnp.ndarray, idx: jnp.ndarray, inv: jnp.ndarray):
     idx/inv [G, R, T] are mutually inverse PERMUTATIONS, so the VJP is the
     inverse-permutation gather summed over rounds -- XLA's generic gather
     VJP would emit scatter-adds, which are far slower on TPU."""
-    return jnp.take_along_axis(x[:, None], idx[..., None], axis=-2)
+    return _take_rows_3d(x, idx)
 
 
 def _gather_rounds_fwd(x, idx, inv):
@@ -91,8 +141,7 @@ def _gather_rounds_fwd(x, idx, inv):
 
 def _gather_rounds_bwd(res, g):
     idx, inv = res
-    gx = jnp.take_along_axis(g, inv[..., None], axis=-2)     # original order
-    return jnp.sum(gx, axis=1), None, None
+    return jnp.sum(_take_rows_4d(g, inv), axis=1), None, None
 
 
 _gather_rounds.defvjp(_gather_rounds_fwd, _gather_rounds_bwd)
@@ -101,7 +150,7 @@ _gather_rounds.defvjp(_gather_rounds_fwd, _gather_rounds_bwd)
 @jax.custom_vjp
 def _unpermute_rounds(y: jnp.ndarray, idx: jnp.ndarray, inv: jnp.ndarray):
     """y [G, R, T, C] per-round sorted order -> original order (same shape)."""
-    return jnp.take_along_axis(y, inv[..., None], axis=-2)
+    return _take_rows_4d(y, inv)
 
 
 def _unpermute_rounds_fwd(y, idx, inv):
@@ -110,7 +159,7 @@ def _unpermute_rounds_fwd(y, idx, inv):
 
 def _unpermute_rounds_bwd(res, g):
     idx, inv = res
-    return jnp.take_along_axis(g, idx[..., None], axis=-2), None, None
+    return _take_rows_4d(g, idx), None, None
 
 
 _unpermute_rounds.defvjp(_unpermute_rounds_fwd, _unpermute_rounds_bwd)
@@ -166,32 +215,54 @@ def lsh_attention(
         1e-6).astype(qk.dtype)
     pos_s = s_idx                                            # t[s_idx] == s_idx
 
-    qc = qk_s.reshape(G, R, n, chunk, D)
-    kc = _look_back(k_s.reshape(G, R, n, chunk, D))          # [G,R,n,2c,D]
-    vc = _look_back(v_s.reshape(G, R, n, chunk, D))
-    pc = pos_s.reshape(G, R, n, chunk)
-    kp = _look_back_ids(pc, -1)                              # key original pos
+    if _kernel_ok(T, chunk, D):
+        from musicnlp_tpu.ops.pallas.chunked_attention_kernel import (
+            chunked_window_attn)
+        GR = G * R
+        qpos = pos_s.reshape(GR, T)
+        if pm is not None:
+            pm_b = jnp.broadcast_to(pm[:, None, :].astype(jnp.int32),
+                                    (G, R, T))
+            pm_s = jnp.take_along_axis(pm_b, s_idx, axis=-1)
+            kpos = jnp.where(pm_s > 0, pos_s, T).reshape(GR, T)  # pads -> T
+        else:
+            kpos = qpos
+        out_s, lse = chunked_window_attn(
+            qk_s.reshape(GR, T, D), k_s.reshape(GR, T, D),
+            v_s.reshape(GR, T, D), qpos, kpos, chunk=chunk, scale=scale,
+            self_bias=SELF_BIAS)
+        out_s = out_s.reshape(G, R, T, D)
+        lse = lse.reshape(G, R, T)
+    else:
+        qc = qk_s.reshape(G, R, n, chunk, D)
+        kc = _look_back(k_s.reshape(G, R, n, chunk, D))      # [G,R,n,2c,D]
+        vc = _look_back(v_s.reshape(G, R, n, chunk, D))
+        pc = pos_s.reshape(G, R, n, chunk)
+        kp = _look_back_ids(pc, -1)                          # key original pos
 
-    score = jnp.einsum('grncd,grnkd->grnck', qc, kc,
-                       preferred_element_type=jnp.float32) * scale
-    causal = kp[..., None, :] <= pc[..., :, None]            # [G,R,n,c,2c]
-    valid = (kp >= 0)[..., None, :]
-    self_m = kp[..., None, :] == pc[..., :, None]
-    mask = causal & valid
-    if pm is not None:
-        pm_b = jnp.broadcast_to(pm[:, None, :].astype(jnp.int32), (G, R, T))
-        pm_s = jnp.take_along_axis(pm_b, s_idx, axis=-1).reshape(G, R, n, chunk)
-        kpm = _look_back_ids(pm_s, 0)
-        mask = mask & (kpm[..., None, :] > 0)
-    score = jnp.where(mask, score, NEG_INF)
-    score = jnp.where(self_m, score + SELF_BIAS, score)      # self only if alone
+        score = jnp.einsum('grncd,grnkd->grnck', qc, kc,
+                           preferred_element_type=jnp.float32) * scale
+        causal = kp[..., None, :] <= pc[..., :, None]        # [G,R,n,c,2c]
+        valid = (kp >= 0)[..., None, :]
+        self_m = kp[..., None, :] == pc[..., :, None]
+        mask = causal & valid
+        if pm is not None:
+            pm_b = jnp.broadcast_to(pm[:, None, :].astype(jnp.int32),
+                                    (G, R, T))
+            pm_s = jnp.take_along_axis(pm_b, s_idx,
+                                       axis=-1).reshape(G, R, n, chunk)
+            kpm = _look_back_ids(pm_s, 0)
+            mask = mask & (kpm[..., None, :] > 0)
+        score = jnp.where(mask, score, NEG_INF)
+        score = jnp.where(self_m, score + SELF_BIAS, score)  # self if alone
+        lse = jax.nn.logsumexp(score, axis=-1)               # [G,R,n,c]
+        probs = jnp.exp(score - lse[..., None]).astype(qk.dtype)
+        out_s = jnp.einsum('grnck,grnkd->grncd', probs, vc,
+                           preferred_element_type=jnp.float32
+                           ).astype(qk.dtype).reshape(G, R, T, D)
+        lse = lse.reshape(G, R, T)
 
-    lse = jax.nn.logsumexp(score, axis=-1)                   # [G,R,n,c]
-    probs = jnp.exp(score - lse[..., None]).astype(qk.dtype)
-    out_s = jnp.einsum('grnck,grnkd->grncd', probs, vc,
-                       preferred_element_type=jnp.float32).astype(qk.dtype)
-
-    out_o = _unpermute_rounds(out_s.reshape(G, R, T, D), s_idx, undo)
-    lse_o = _unpermute_rounds(lse.reshape(G, R, T, 1), s_idx, undo)[..., 0]
+    out_o = _unpermute_rounds(out_s, s_idx, undo)
+    lse_o = _unpermute_rounds(lse[..., None], s_idx, undo)[..., 0]
     w = jax.nn.softmax(lse_o, axis=1)[..., None].astype(qk.dtype)
     return jnp.sum(out_o * w, axis=1).reshape(B, H, T, D)
