@@ -71,6 +71,21 @@ class TransfoXLConfig:
     # 32k-262k learned-tokenizer tiers, reference transformer_xl.py:56-66).
     # None = full-logits path (right for the base <=32k vocabs).
     head_chunk: Optional[int] = None
+    # HF-compatible adaptive softmax head (cluster factorization), for
+    # importing reference-trained checkpoints (the reference sets
+    # cutoffs=[1000] for vocab >= 1000, reference transformer_xl.py:56-66).
+    # When set, the "logits" this model produces are the adaptive LOG-PROBS,
+    # exactly as HF's ProjectedAdaptiveLogSoftmax emits them -- CE/metrics/
+    # sampling compose unchanged.  Natively-trained models keep None (the
+    # dense tied head is faster on TPU at every vocab this project uses).
+    adaptive_cutoffs: Optional[Tuple[int, ...]] = None
+    # sliding attention window (keys with distance >= attn_window are
+    # masked).  The reference leaves HF's `same_length=True` DEFAULT, so
+    # its models actually train AND decode with a fixed mem_len-wide
+    # window, not full causal attention -- imported checkpoints set this
+    # to mem_len for faithful behavior.  None = full causal (the native
+    # recipes; strictly more context).
+    attn_window: Optional[int] = None
 
     presets = {
         'debug': dict(d_model=128, n_head=8, n_layer=4),
@@ -139,11 +154,17 @@ class TransfoXL:
                                    std=cfg.init_std),
                 ffn=ffn_init(rf, cfg.d_model, cfg.d_inner, std=cfg.init_std),
             ))
-        return dict(
+        params = dict(
             embed=embedding_init(r_emb, cfg.vocab_size, cfg.d_model, std=cfg.init_std),
             layers=layers,
             out_bias=jnp.zeros((cfg.vocab_size,), jnp.float32),
         )
+        if cfg.adaptive_cutoffs:
+            n_cl = len(cfg.adaptive_cutoffs)
+            params['adaptive'] = dict(
+                cluster_w=jnp.zeros((n_cl, cfg.d_model), jnp.float32),
+                cluster_b=jnp.zeros((n_cl,), jnp.float32))
+        return params
 
     def init_mems(self, batch_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
@@ -207,6 +228,7 @@ class TransfoXL:
                     fused_rel_attn,
                     clamp_len=cfg.clamp_len, pre_lnorm=cfg.pre_lnorm,
                     dropout_rate=cfg.dropout, deterministic=deterministic,
+                    window=cfg.attn_window,
                     bq=self._pick_block(Q, cfg.flash_block_q),
                     bk=self._pick_block(S, cfg.flash_block_k))
                 if cfg.remat_attn:
@@ -221,7 +243,8 @@ class TransfoXL:
                     layer['attn'], h, layer_mems, mem_valid,
                     clamp_len=cfg.clamp_len, pre_lnorm=cfg.pre_lnorm,
                     dropout_rate=cfg.dropout, dropatt_rate=cfg.dropatt,
-                    rng=r_a, deterministic=deterministic, attn_mask=attn_mask)
+                    rng=r_a, deterministic=deterministic, attn_mask=attn_mask,
+                    window=cfg.attn_window)
             h = ffn(layer['ffn'], h, pre_lnorm=cfg.pre_lnorm,
                     dropout_rate=cfg.dropout, rng=r_f, deterministic=deterministic)
 
@@ -254,10 +277,38 @@ class TransfoXL:
             return False
 
     def _lm_head(self, params: Params, h: jnp.ndarray) -> jnp.ndarray:
-        """Tied full-vocab softmax head; logits returned in f32."""
+        """Tied full-vocab softmax head; logits returned in f32.
+
+        With `adaptive_cutoffs` set, returns the cluster-factorized adaptive
+        LOG-PROBS instead (HF ProjectedAdaptiveLogSoftmax semantics,
+        div_val=1, d_proj==d_embed -- the reference's configuration), so
+        imported reference checkpoints score tokens identically.  Log-probs
+        compose with the CE/argmax/sampling paths unchanged (their
+        logsumexp is exactly 0)."""
         w = params['embed']['weight'].astype(h.dtype)
-        logits = jnp.einsum('bqd,vd->bqv', h, w, preferred_element_type=jnp.float32)
-        return logits + params['out_bias'].astype(jnp.float32)
+        bias = params['out_bias'].astype(jnp.float32)
+        if not self.cfg.adaptive_cutoffs:
+            logits = jnp.einsum('bqd,vd->bqv', h, w,
+                                preferred_element_type=jnp.float32)
+            return logits + bias
+        V = self.cfg.vocab_size
+        cuts = (0,) + tuple(self.cfg.adaptive_cutoffs) + (V,)
+        c0, n_cl = cuts[1], len(cuts) - 2
+        ad = params['adaptive']
+        head_w = jnp.concatenate([w[:c0], ad['cluster_w'].astype(h.dtype)], 0)
+        head_b = jnp.concatenate([bias[:c0], ad['cluster_b'].astype(jnp.float32)])
+        head_lp = jax.nn.log_softmax(
+            jnp.einsum('bqd,vd->bqv', h, head_w,
+                       preferred_element_type=jnp.float32) + head_b, axis=-1)
+        parts = [head_lp[..., :c0]]
+        for i in range(n_cl):
+            lo, hi = cuts[i + 1], cuts[i + 2]
+            tail_lp = jax.nn.log_softmax(
+                jnp.einsum('bqd,vd->bqv', h, w[lo:hi],
+                           preferred_element_type=jnp.float32)
+                + bias[lo:hi], axis=-1)
+            parts.append(head_lp[..., c0 + i:c0 + i + 1] + tail_lp)
+        return jnp.concatenate(parts, axis=-1)
 
     # ------------------------------------------------------------ train loss
     def loss(
@@ -428,7 +479,8 @@ class TransfoXL:
         for li, layer in enumerate(params['layers']):
             h, k_cur, v_cur = rel_attn_decode_step(
                 layer['attn'], h, ck[li], cv[li], state.cache_pos, state.step,
-                clamp_len=cfg.clamp_len, pre_lnorm=cfg.pre_lnorm)
+                clamp_len=cfg.clamp_len, pre_lnorm=cfg.pre_lnorm,
+                window=cfg.attn_window)
             ck = jax.lax.dynamic_update_slice(
                 ck, k_cur[None], (li, 0, slot, 0, 0))
             cv = jax.lax.dynamic_update_slice(

@@ -78,6 +78,7 @@ def rel_attn(
         *, clamp_len: int = -1, pre_lnorm: bool = False, scale: Optional[float] = None,
         dropout_rate: float = 0.0, dropatt_rate: float = 0.0, rng=None,
         deterministic: bool = True, attn_mask: Optional[jnp.ndarray] = None,
+        window: Optional[int] = None,
 ) -> jnp.ndarray:
     """Full-sequence relative attention with optional fixed-size memory.
 
@@ -86,6 +87,9 @@ def rel_attn(
     mem_valid: scalar int -- how many of the M memory slots are real.
     attn_mask: optional [B, Q] bool, True = position is a real token (padding
                mask for the keys of the current segment).
+    window: sliding attention window (keys at distance >= window masked) --
+            HF `same_length=True` semantics, which the reference uses by
+            default (window = its mem_len); None = full causal.
     Returns [B, Q, d_model] (residual + layernorm applied).
     """
     dtype = x.dtype
@@ -128,6 +132,8 @@ def rel_attn(
     causal = j <= (i + M)                                                # [Q, K]
     mem_ok = j >= (M - mem_valid)                                        # mask out empty slots
     mask = causal & mem_ok
+    if window is not None:
+        mask = mask & ((i + M - j) < window)
     mask = jnp.broadcast_to(mask[None, None], (B, 1, Q, K))
     if attn_mask is not None:
         key_ok = jnp.concatenate(
@@ -157,6 +163,7 @@ def rel_attn_decode_step(
         p: Params, x: jnp.ndarray, cache_k: jnp.ndarray, cache_v: jnp.ndarray,
         cache_pos: jnp.ndarray, step: jnp.ndarray, *, clamp_len: int = -1,
         pre_lnorm: bool = False, scale: Optional[float] = None,
+        window: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Single-token decode attention against a KV ring-buffer cache.
 
@@ -215,8 +222,10 @@ def rel_attn_decode_step(
     BD = jnp.einsum('bqnh,knh->bnqk', rr, r_head,
                     preferred_element_type=jnp.float32)
     score_c = (AC + BD) * scale
-    score_c = jnp.where((cache_pos >= 0)[None, None, None, :], score_c,
-                        NEG_INF)
+    slot_ok = cache_pos >= 0
+    if window is not None:
+        slot_ok = slot_ok & ((step - cache_pos) < window)
+    score_c = jnp.where(slot_ok[None, None, None, :], score_c, NEG_INF)
     # current token: distance 0, always valid
     s_self = (jnp.sum(rw * k_cur, axis=-1)                               # [B,1,N]
               + jnp.einsum('bqnh,nh->bqn', rr, r_head_all[0])

