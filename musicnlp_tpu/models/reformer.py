@@ -100,6 +100,15 @@ class ReformerConfig:
     remat: bool = False
     init_std: float = 0.02
     dtype: str = 'bfloat16'
+    ln_eps: float = 1e-5      # HF Reformer uses 1e-12; set on import
+    # HF `ReformerModelWithLMHead` weight-compatible mode, for importing
+    # reference-trained checkpoints (utils/hf_import.py): reversible
+    # two-stream residuals (Y1 = X1 + attn(LN X2); Y2 = X2 + ff(LN Y1)),
+    # final layer norm + untied LM head over the CONCATENATED [2*d] streams,
+    # and a separate query projection in local layers.  Native training
+    # keeps the standard pre-norm residual stack (same capability; remat
+    # replaces reversibility's memory trick, module docstring).
+    hf_compat: bool = False
 
     presets = {
         'debug': dict(max_length=64, axial_pos_shape=(8, 8), d_model=128,
@@ -192,19 +201,25 @@ class Reformer:
                 attn['k'] = jax.random.normal(
                     kk, (cfg.d_model, cfg.n_head, cfg.d_head),
                     jnp.float32) * cfg.init_std
+                if cfg.hf_compat:   # HF local layers also split the query
+                    attn['q'] = jax.random.normal(
+                        jax.random.fold_in(kk, 1),
+                        (cfg.d_model, cfg.n_head, cfg.d_head),
+                        jnp.float32) * cfg.init_std
             ffn = dict(
                 w1=dense_init(kf1, cfg.d_model, cfg.d_ff, std=cfg.init_std),
                 w2=dense_init(kf2, cfg.d_ff, cfg.d_model, std=cfg.init_std),
                 ln=layer_norm_init(cfg.d_model),
             )
             layers.append(dict(attn=attn, ffn=ffn))
+        d_out = 2 * cfg.d_model if cfg.hf_compat else cfg.d_model
         return dict(
             embed=embedding_init(keys[0], cfg.vocab_size, cfg.d_model,
                                  std=cfg.init_std),
             axial1=jax.random.normal(keys[1], (n1, 1, d1), jnp.float32) * cfg.init_std,
             axial2=jax.random.normal(keys[2], (1, n2, d2), jnp.float32) * cfg.init_std,
-            ln_f=layer_norm_init(cfg.d_model),
-            lm_head=dense_init(keys[3], cfg.d_model, cfg.vocab_size,
+            ln_f=layer_norm_init(d_out),
+            lm_head=dense_init(keys[3], d_out, cfg.vocab_size,
                                std=cfg.init_std),
             layers=layers,
         )
@@ -236,23 +251,47 @@ class Reformer:
         rngs = (jax.random.split(rng, 2 * len(params['layers']))
                 if rng is not None and not deterministic else None)
 
-        for li, layer in enumerate(params['layers']):
-            kind = cfg.attn_layers[li]
-            blk = self._attn_block(layer['attn'], kind, li, pad_mask)
-            ff = self._ffn_block(layer['ffn'])
-            if cfg.remat:
-                blk = jax.checkpoint(blk)
-                ff = jax.checkpoint(ff)
-            a = blk(h)
-            if rngs is not None:
-                a = dropout(a, cfg.dropout, rngs[2 * li], deterministic)
-            h = h + a
-            f = ff(h)
-            if rngs is not None:
-                f = dropout(f, cfg.dropout, rngs[2 * li + 1], deterministic)
-            h = h + f
+        if cfg.hf_compat:
+            # reversible two-stream residuals (HF _ReversibleFunction):
+            #   Y1 = X1 + attn(LN(X2));  Y2 = X2 + ff(LN(Y1))
+            # autodiff handles the backward; cfg.remat recovers the O(1)-
+            # activations property reversibility exists for
+            x1 = x2 = h
+            for li, layer in enumerate(params['layers']):
+                kind = cfg.attn_layers[li]
+                blk = self._attn_block(layer['attn'], kind, li, pad_mask)
+                ff = self._ffn_block(layer['ffn'])
+                if cfg.remat:
+                    blk = jax.checkpoint(blk)
+                    ff = jax.checkpoint(ff)
+                a = blk(x2)
+                if rngs is not None:
+                    a = dropout(a, cfg.dropout, rngs[2 * li], deterministic)
+                x1 = x1 + a
+                f = ff(x1)
+                if rngs is not None:
+                    f = dropout(f, cfg.dropout, rngs[2 * li + 1],
+                                deterministic)
+                x2 = x2 + f
+            h = jnp.concatenate([x1, x2], axis=-1)
+        else:
+            for li, layer in enumerate(params['layers']):
+                kind = cfg.attn_layers[li]
+                blk = self._attn_block(layer['attn'], kind, li, pad_mask)
+                ff = self._ffn_block(layer['ffn'])
+                if cfg.remat:
+                    blk = jax.checkpoint(blk)
+                    ff = jax.checkpoint(ff)
+                a = blk(h)
+                if rngs is not None:
+                    a = dropout(a, cfg.dropout, rngs[2 * li], deterministic)
+                h = h + a
+                f = ff(h)
+                if rngs is not None:
+                    f = dropout(f, cfg.dropout, rngs[2 * li + 1], deterministic)
+                h = h + f
 
-        h = layer_norm(params['ln_f'], h)
+        h = layer_norm(params['ln_f'], h, eps=cfg.ln_eps)
         logits = jnp.dot(h, params['lm_head']['w'].astype(dtype),
                          preferred_element_type=jnp.float32)
         return logits + params['lm_head']['b'].astype(jnp.float32)
@@ -262,15 +301,19 @@ class Reformer:
 
         def blk(h):
             dtype = h.dtype
-            x = layer_norm(p['ln'], h)
+            x = layer_norm(p['ln'], h, eps=cfg.ln_eps)
             qk = jnp.einsum('btd,dnh->bnth', x, p['qk'].astype(dtype),
                             preferred_element_type=jnp.float32).astype(dtype)
             v = jnp.einsum('btd,dnh->bnth', x, p['v'].astype(dtype),
                            preferred_element_type=jnp.float32).astype(dtype)
             if kind == 'local':
+                q = (jnp.einsum('btd,dnh->bnth', x, p['q'].astype(dtype),
+                                preferred_element_type=jnp.float32
+                                ).astype(dtype)
+                     if 'q' in p else qk)   # HF layout: separate local query
                 k = jnp.einsum('btd,dnh->bnth', x, p['k'].astype(dtype),
                                preferred_element_type=jnp.float32).astype(dtype)
-                ctx = local_attention(qk, k, v, chunk=cfg.local_chunk,
+                ctx = local_attention(q, k, v, chunk=cfg.local_chunk,
                                       pad_mask=pad_mask)
             else:
                 T = h.shape[1]
@@ -284,8 +327,9 @@ class Reformer:
         return blk
 
     def _ffn_block(self, p: Params):
+        cfg = self.cfg
         def ff(h):
-            x = layer_norm(p['ln'], h)
+            x = layer_norm(p['ln'], h, eps=cfg.ln_eps)
             x = jax.nn.relu(dense(p['w1'], x))
             return dense(p['w2'], x)
         return ff
@@ -328,6 +372,9 @@ class Reformer:
         prefix re-forward.  Same duck-typed API as TransfoXL.decode_step,
         usable by ops.sampling.generate_scan / MusicGenerator."""
         cfg = self.cfg
+        assert not cfg.hf_compat, \
+            'imported HF Reformer checkpoints decode via decode_step_exact ' \
+            '(reversible streams are not wired into the incremental caches yet)'
         dtype = cfg.compute_dtype
         B = token_ids.shape[0]
         t = state.step
@@ -343,7 +390,7 @@ class Reformer:
         il = ish = 0
         for li, layer in enumerate(params['layers']):
             p = layer['attn']
-            x = layer_norm(p['ln'], h)                        # [B, D]
+            x = layer_norm(p['ln'], h, eps=cfg.ln_eps)                        # [B, D]
             q = jnp.einsum('bd,dnh->bnh', x, p['qk'].astype(dtype),
                            preferred_element_type=jnp.float32).astype(dtype)
             v = jnp.einsum('bd,dnh->bnh', x, p['v'].astype(dtype),
@@ -369,9 +416,12 @@ class Reformer:
                 il += 1
             else:
                 qf = q.astype(jnp.float32)
-                kn = (qf / jnp.maximum(
-                    jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-6)
-                      ).astype(dtype)
+                # HF _len_and_dim_norm: rms-normalized keys carrying the
+                # 1/sqrt(H); scores then take NO further scale (matches
+                # ops/chunked_attention.lsh_attention)
+                kn = (qf * jax.lax.rsqrt(
+                    jnp.mean(qf * qf, axis=-1, keepdims=True) + 1e-6)
+                    * (1.0 / (cfg.d_head ** 0.5))).astype(dtype)
                 sk = sk.at[ish, :, :, t].set(kn)
                 sv = sv.at[ish, :, :, t].set(v)
                 nb = cfg.n_buckets or _auto_buckets(L, cfg.lsh_chunk)
@@ -389,7 +439,7 @@ class Reformer:
                 self_m = pos == t
                 score_all = jnp.einsum(
                     'bnh,bnlh->bnl', q, sk[ish],
-                    preferred_element_type=jnp.float32) * scale
+                    preferred_element_type=jnp.float32)   # keys carry scale
                 score_all = jnp.where(self_m[None, None], score_all + SELF_BIAS,
                                       score_all)
                 outs, lses = [], []
@@ -414,11 +464,11 @@ class Reformer:
                            preferred_element_type=jnp.float32).astype(dtype)
             h = h + a
             fp = layer['ffn']
-            x2 = layer_norm(fp['ln'], h)
+            x2 = layer_norm(fp['ln'], h, eps=cfg.ln_eps)
             f = dense(fp['w2'], jax.nn.relu(dense(fp['w1'], x2)))
             h = h + f
 
-        h = layer_norm(params['ln_f'], h)
+        h = layer_norm(params['ln_f'], h, eps=cfg.ln_eps)
         logits = jnp.dot(h, params['lm_head']['w'].astype(dtype),
                          preferred_element_type=jnp.float32)
         logits = logits + params['lm_head']['b'].astype(jnp.float32)

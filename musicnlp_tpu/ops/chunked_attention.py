@@ -186,7 +186,7 @@ def lsh_attention(
     B, H, T, D = qk.shape
     assert T % chunk == 0 and n_buckets % 2 == 0
     R, G, n = n_hashes, B * H, T // chunk
-    scale = 1.0 / (D ** 0.5)
+    scale = 1.0   # keys already carry the 1/sqrt(D) (HF _len_and_dim_norm)
     rots = jax.random.normal(rng_rot, (R, D, n_buckets // 2), jnp.float32)
 
     x = qk.reshape(G, T, D)
@@ -211,10 +211,15 @@ def lsh_attention(
 
     xs = _gather_rounds(jnp.concatenate([x, vv], axis=-1), s_idx, undo)
     qk_s, v_s = xs[..., :D], xs[..., D:]                     # [G, R, T, D]
-    # normalized keys (shared-QK Reformer: key = qk / ||qk||)
-    k_s = qk_s / jnp.maximum(
-        jnp.linalg.norm(qk_s.astype(jnp.float32), axis=-1, keepdims=True),
-        1e-6).astype(qk.dtype)
+    # shared-QK key normalization, EXACTLY the reference's (HF Reformer
+    # `_len_and_dim_norm`): k = qk * rsqrt(mean(qk^2) + 1e-6) / sqrt(D).
+    # Net effect: scores ~ q . qk/||qk|| with NO further 1/sqrt(D) on the
+    # dots (the rms norm's implicit sqrt(D) cancels it) -- round 1 scored at
+    # an extra 1/sqrt(D), a softer softmax than the reference's
+    qk_f = qk_s.astype(jnp.float32)
+    k_s = (qk_f * jax.lax.rsqrt(
+        jnp.mean(qk_f * qk_f, axis=-1, keepdims=True) + 1e-6)
+        * (1.0 / (D ** 0.5))).astype(qk.dtype)
     pos_s = s_idx                                            # t[s_idx] == s_idx
 
     if _kernel_ok(T, chunk, D):

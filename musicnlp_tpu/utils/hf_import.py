@@ -24,7 +24,8 @@ import numpy as np
 
 from musicnlp_tpu.models.transformer_xl import TransfoXL, TransfoXLConfig
 
-__all__ = ['from_hf_transfo_xl', 'to_hf_transfo_xl']
+__all__ = ['from_hf_transfo_xl', 'to_hf_transfo_xl',
+           'from_hf_reformer', 'to_hf_reformer']
 
 
 def _np(x) -> np.ndarray:
@@ -175,6 +176,155 @@ def to_hf_transfo_xl(cfg: TransfoXLConfig, params: Dict[str, Any]):
         new[p + 'pos_ff.CoreNet.3.bias'] = g(f['w2']['b'])
         new[p + 'pos_ff.layer_norm.weight'] = g(f['ln']['scale'])
         new[p + 'pos_ff.layer_norm.bias'] = g(f['ln']['bias'])
+    sd.update(new)
+    model.load_state_dict(sd)
+    return model
+
+
+# --------------------------------------------------------------- Reformer
+def from_hf_reformer(model_or_state, *, hf_config=None, **config_overrides):
+    """HF ReformerModelWithLMHead (or its state dict) -> (config, params).
+
+    Maps onto `ReformerConfig(hf_compat=True)`: reversible two-stream
+    residuals, [2*d] final norm + untied head, separate local-layer query.
+    LSH bucketing randomness is NOT transferable (HF draws unseeded torch
+    rotations per call; this framework uses a deterministic (seed, layer)
+    fold) -- outputs agree exactly wherever bucketing cannot matter (e.g.
+    sequences within one LSH chunk) and are statistically equivalent
+    elsewhere, per the Reformer multi-round estimator.
+
+    Imported models score/train through `forward`/`loss`; generation uses
+    `decode_step_exact` (the incremental caches assume the native stack).
+    """
+    from musicnlp_tpu.models.reformer import ReformerConfig
+
+    if hf_config is None:
+        hf_config = getattr(model_or_state, 'config', None)
+        if hf_config is None:
+            raise ValueError('pass hf_config when importing a bare state dict')
+    sd = _state_dict(model_or_state)
+    hc = hf_config
+    if hc.hidden_act not in ('relu',):
+        raise NotImplementedError(f'hidden_act {hc.hidden_act!r}: this '
+                                  'framework implements the reference relu')
+    if isinstance(hc.num_buckets, (list, tuple)):
+        raise NotImplementedError('factorized num_buckets is not supported')
+    if hc.local_num_chunks_before != 1 or hc.local_num_chunks_after != 0 \
+            or hc.lsh_num_chunks_before != 1 or hc.lsh_num_chunks_after != 0:
+        raise NotImplementedError('only the causal 1-look-back chunk layout')
+    N, H, d = hc.num_attention_heads, hc.attention_head_size, hc.hidden_size
+
+    layers = []
+    for i, kind in enumerate(hc.attn_layers):
+        p = f'reformer.encoder.layers.{i}.'
+        sa = p + 'attention.self_attention.'
+        attn = dict(
+            v=sd[sa + 'value.weight'].T.reshape(d, N, H),
+            o=sd[p + 'attention.output.dense.weight'].T.reshape(N, H, d),
+            ln=dict(scale=sd[p + 'attention.layer_norm.weight'],
+                    bias=sd[p + 'attention.layer_norm.bias']),
+        )
+        if kind == 'local':
+            attn['q'] = sd[sa + 'query.weight'].T.reshape(d, N, H)
+            attn['k'] = sd[sa + 'key.weight'].T.reshape(d, N, H)
+            attn['qk'] = attn['q']          # placeholder; local uses 'q'
+        else:
+            attn['qk'] = sd[sa + 'query_key.weight'].T.reshape(d, N, H)
+        layers.append(dict(
+            attn=attn,
+            ffn=dict(
+                w1=dict(w=sd[p + 'feed_forward.dense.dense.weight'].T,
+                        b=sd[p + 'feed_forward.dense.dense.bias']),
+                w2=dict(w=sd[p + 'feed_forward.output.dense.weight'].T,
+                        b=sd[p + 'feed_forward.output.dense.bias']),
+                ln=dict(scale=sd[p + 'feed_forward.layer_norm.weight'],
+                        bias=sd[p + 'feed_forward.layer_norm.bias']),
+            )))
+
+    params: Dict[str, Any] = dict(
+        embed=dict(weight=sd['reformer.embeddings.word_embeddings.weight']),
+        axial1=sd['reformer.embeddings.position_embeddings.weights.0'],
+        axial2=sd['reformer.embeddings.position_embeddings.weights.1'],
+        ln_f=dict(scale=sd['reformer.encoder.layer_norm.weight'],
+                  bias=sd['reformer.encoder.layer_norm.bias']),
+        lm_head=dict(w=sd['lm_head.decoder.weight'].T,
+                     b=sd['lm_head.decoder.bias']),
+        layers=layers,
+    )
+
+    n1, n2 = hc.axial_pos_shape
+    cfg = ReformerConfig(
+        vocab_size=hc.vocab_size, model_size='hf-import', d_model=d,
+        n_head=N, d_head=H, d_ff=hc.feed_forward_size,
+        attn_layers=tuple(hc.attn_layers),
+        max_length=hc.max_position_embeddings,
+        axial_pos_shape=(int(n1), int(n2)),
+        local_chunk=hc.local_attn_chunk_length,
+        lsh_chunk=hc.lsh_attn_chunk_length,
+        n_hashes=hc.num_hashes, n_buckets=hc.num_buckets,
+        dropout=hc.hidden_dropout_prob, ln_eps=hc.layer_norm_eps,
+        hf_compat=True, **config_overrides)
+    return cfg, params
+
+
+def to_hf_reformer(cfg, params):
+    """(ReformerConfig(hf_compat=True), params) -> HF ReformerModelWithLMHead."""
+    import torch
+    from transformers import ReformerConfig as HFConfig
+    from transformers import ReformerModelWithLMHead
+
+    if not cfg.hf_compat:
+        raise NotImplementedError(
+            'only hf_compat (reversible, 2d-head) models are HF-expressible; '
+            'the native stack uses standard residuals')
+    hc = HFConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.d_model,
+        num_attention_heads=cfg.n_head, attention_head_size=cfg.d_head,
+        feed_forward_size=cfg.d_ff, attn_layers=list(cfg.attn_layers),
+        axial_pos_shape=list(cfg.axial_pos_shape),
+        axial_pos_embds_dim=[cfg.d_model // 4, 3 * cfg.d_model // 4],
+        max_position_embeddings=cfg.max_length,
+        local_attn_chunk_length=cfg.local_chunk,
+        lsh_attn_chunk_length=cfg.lsh_chunk, num_hashes=cfg.n_hashes,
+        num_buckets=cfg.n_buckets, is_decoder=True,
+        hidden_dropout_prob=cfg.dropout, hidden_act='relu',
+        layer_norm_eps=cfg.ln_eps)
+    model = ReformerModelWithLMHead(hc)
+    g = lambda x: torch.from_numpy(np.asarray(x, np.float32))
+    sd = model.state_dict()
+    N, H, d = cfg.n_head, cfg.d_head, cfg.d_model
+    new = {
+        'reformer.embeddings.word_embeddings.weight': g(params['embed']['weight']),
+        'reformer.embeddings.position_embeddings.weights.0': g(params['axial1']),
+        'reformer.embeddings.position_embeddings.weights.1': g(params['axial2']),
+        'reformer.encoder.layer_norm.weight': g(params['ln_f']['scale']),
+        'reformer.encoder.layer_norm.bias': g(params['ln_f']['bias']),
+        'lm_head.decoder.weight': g(np.asarray(params['lm_head']['w']).T),
+        'lm_head.decoder.bias': g(params['lm_head']['b']),
+        'lm_head.bias': g(params['lm_head']['b']),
+    }
+    for i, kind in enumerate(cfg.attn_layers):
+        p = f'reformer.encoder.layers.{i}.'
+        sa = p + 'attention.self_attention.'
+        a, f = params['layers'][i]['attn'], params['layers'][i]['ffn']
+        if kind == 'local':
+            new[sa + 'query.weight'] = g(
+                np.asarray(a['q']).reshape(d, N * H).T)
+            new[sa + 'key.weight'] = g(np.asarray(a['k']).reshape(d, N * H).T)
+        else:
+            new[sa + 'query_key.weight'] = g(
+                np.asarray(a['qk']).reshape(d, N * H).T)
+        new[sa + 'value.weight'] = g(np.asarray(a['v']).reshape(d, N * H).T)
+        new[p + 'attention.output.dense.weight'] = g(
+            np.asarray(a['o']).reshape(N * H, d).T)
+        new[p + 'attention.layer_norm.weight'] = g(a['ln']['scale'])
+        new[p + 'attention.layer_norm.bias'] = g(a['ln']['bias'])
+        new[p + 'feed_forward.dense.dense.weight'] = g(np.asarray(f['w1']['w']).T)
+        new[p + 'feed_forward.dense.dense.bias'] = g(f['w1']['b'])
+        new[p + 'feed_forward.output.dense.weight'] = g(np.asarray(f['w2']['w']).T)
+        new[p + 'feed_forward.output.dense.bias'] = g(f['w2']['b'])
+        new[p + 'feed_forward.layer_norm.weight'] = g(f['ln']['scale'])
+        new[p + 'feed_forward.layer_norm.bias'] = g(f['ln']['bias'])
     sd.update(new)
     model.load_state_dict(sd)
     return model

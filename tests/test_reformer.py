@@ -75,7 +75,9 @@ def test_lsh_single_chunk_equals_dense_shared_qk():
     out = lsh_attention(qk, v, chunk=T, n_hashes=1, n_buckets=4,
                         rng_rot=jax.random.PRNGKey(5))
     qk_np = np.asarray(qk)[0, 0]
-    k_np = qk_np / np.linalg.norm(qk_np, axis=-1, keepdims=True)
+    # HF `_len_and_dim_norm` semantics: keys rms-normalized, net score
+    # q . rms(qk) / sqrt(D) (which is _dense_causal's own scaling)
+    k_np = qk_np / np.sqrt(np.mean(qk_np ** 2, -1, keepdims=True) + 1e-6)
     ref = _dense_causal(qk_np, k_np, np.asarray(v)[0, 0], self_bias=SELF_BIAS)
     np.testing.assert_allclose(np.asarray(out)[0, 0], ref, rtol=1e-3, atol=1e-4)
 
