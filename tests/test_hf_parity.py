@@ -164,3 +164,28 @@ def test_imported_decode_matches_forward():
     fwd, _, _ = model.forward(params, ids)
     np.testing.assert_allclose(np.asarray(dec), np.asarray(fwd),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_imported_checkpoint_generates(tmp_path):
+    """End-to-end 'switch from the reference': import an HF checkpoint built
+    at the music vocab size, then drive MusicGenerator through the KV-ring
+    decode to rendered MIDI/MXL files."""
+    from musicnlp_tpu.trainer.eval import MusicGenerator
+    from musicnlp_tpu.vocab import MusicTokenizer
+
+    tok = MusicTokenizer(pitch_kind='degree')
+    hf_cfg = HFConfig(vocab_size=tok.vocab_size, d_model=32, d_embed=32,
+                      n_head=4, d_head=8, d_inner=64, n_layer=2, mem_len=32,
+                      clamp_len=64, cutoffs=[64], div_val=1, dropout=0.0,
+                      dropatt=0.0, untie_r=True)
+    torch.manual_seed(21)
+    hf = TransfoXLLMHeadModel(hf_cfg).eval()
+    cfg, params = from_hf_transfo_xl(hf, max_length=64, dtype='float32')
+    model = TransfoXL(cfg)
+    params = jax.tree.map(jnp.asarray, params)
+    gen = MusicGenerator(model, tok, params, out_dir=str(tmp_path))
+    outs = gen(mode='unconditional', strategy='sample', n_song=2,
+               max_length=48, top_k=8, seed=3)
+    assert len(outs) == 2
+    for o in outs:
+        assert o['midi'] and o['text']
