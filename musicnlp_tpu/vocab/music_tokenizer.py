@@ -64,6 +64,12 @@ class MusicTokenizer:
             ids = ids + [self.pad_token_id] * (max_length - len(ids))
         return ids
 
+    def colorize(self, song: str) -> str:
+        """ANSI-colorized token string for terminal display (reference
+        music_tokenizer.py:109-110; the `viz_train_aug` writing chore)."""
+        return ' '.join(self.vocab.colorize_token(t)
+                        for t in self.tokenize(song))
+
     def decode(self, ids, skip_special_tokens: bool = False) -> str:
         if isinstance(ids, (int, np.integer)):
             ids = [ids]

@@ -328,6 +328,24 @@ class MusicVocabulary:
     def tempo_pattern(self) -> re.Pattern:
         return self._re_tempo_bin if self.tempo_bin else self._re_tempo_int
 
+    # terminal colors by token type (reference music_vocab.py:177-184:
+    # red = meta (time sig/tempo/key), green = duration, blue = pitch,
+    # magenta = structural specials)
+    _TYPE2ANSI = {VocabType.time_sig: '31', VocabType.tempo: '31',
+                  VocabType.key: '31', VocabType.duration: '32',
+                  VocabType.pitch: '34', VocabType.special: '35'}
+
+    def colorize_token(self, tok: str) -> str:
+        """ANSI-colorize one token by its type for terminal output
+        (reference music_vocab.py:749-763; WordPiece merges split first)."""
+        toks = tok.replace(WORDPIECE_CONTINUING_PREFIX, '').split()
+        return ' '.join(
+            f'\x1b[{self._TYPE2ANSI[self.type(t)]}m{t}\x1b[0m' for t in toks)
+
+    def colorize_tokens(self, toks: Union[str, List[str]]) -> str:
+        toks = toks if isinstance(toks, list) else toks.split()
+        return ' '.join(self.colorize_token(t) for t in toks)
+
     def with_meta(self, tok: Union[str, int]) -> bool:
         return self.type(tok) != VocabType.special
 

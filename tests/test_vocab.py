@@ -193,3 +193,15 @@ def test_ids2pitches():
     ids = tok(s)['input_ids']
     assert tok.ids2pitches(ids) == [64, -1]
     assert tok.ids2pitches(ids, include_rest_pitch=False) == [64]
+
+
+def test_colorize_roundtrip():
+    """ANSI colorizing decorates every token without altering content
+    (reference music_vocab.py:749-763, music_tokenizer.py:109)."""
+    import re
+    from musicnlp_tpu.vocab import MusicTokenizer
+    tok = MusicTokenizer(pitch_kind='degree')
+    text = 'TimeSig_4/4 Tempo_120 Key_CMajor <bar> <melody> p_1/5_1 d_1 </s>'
+    colored = tok.colorize(text)
+    assert '\x1b[' in colored
+    assert re.sub(r'\x1b\[[0-9]*m', '', colored) == text
