@@ -372,9 +372,6 @@ class Reformer:
         prefix re-forward.  Same duck-typed API as TransfoXL.decode_step,
         usable by ops.sampling.generate_scan / MusicGenerator."""
         cfg = self.cfg
-        assert not cfg.hf_compat, \
-            'imported HF Reformer checkpoints decode via decode_step_exact ' \
-            '(reversible streams are not wired into the incremental caches yet)'
         dtype = cfg.compute_dtype
         B = token_ids.shape[0]
         t = state.step
@@ -384,6 +381,8 @@ class Reformer:
 
         h = params['embed']['weight'].astype(dtype)[token_ids]
         h = h + self._pos_emb_row(params, t, dtype)[None]
+        # hf_compat: reversible two-stream residuals, per forward()
+        x1 = h
 
         lk, lv = state.local_k, state.local_v
         sk, sv, sb = state.lsh_k, state.lsh_v, state.lsh_buckets
@@ -391,7 +390,11 @@ class Reformer:
         for li, layer in enumerate(params['layers']):
             p = layer['attn']
             x = layer_norm(p['ln'], h, eps=cfg.ln_eps)                        # [B, D]
-            q = jnp.einsum('bd,dnh->bnh', x, p['qk'].astype(dtype),
+            q = jnp.einsum('bd,dnh->bnh', x,
+                           p.get('q', p['qk']).astype(dtype),
+                           preferred_element_type=jnp.float32).astype(dtype) \
+                if cfg.attn_layers[li] == 'local' else \
+                jnp.einsum('bd,dnh->bnh', x, p['qk'].astype(dtype),
                            preferred_element_type=jnp.float32).astype(dtype)
             v = jnp.einsum('bd,dnh->bnh', x, p['v'].astype(dtype),
                            preferred_element_type=jnp.float32).astype(dtype)
@@ -462,12 +465,19 @@ class Reformer:
                 ish += 1
             a = jnp.einsum('bnh,nhd->bd', ctx, p['o'].astype(dtype),
                            preferred_element_type=jnp.float32).astype(dtype)
-            h = h + a
             fp = layer['ffn']
-            x2 = layer_norm(fp['ln'], h, eps=cfg.ln_eps)
-            f = dense(fp['w2'], jax.nn.relu(dense(fp['w1'], x2)))
-            h = h + f
+            if cfg.hf_compat:
+                # Y1 = X1 + attn(LN X2); Y2 = X2 + ff(LN Y1)
+                x1 = x1 + a
+                xf = layer_norm(fp['ln'], x1, eps=cfg.ln_eps)
+                h = h + dense(fp['w2'], jax.nn.relu(dense(fp['w1'], xf)))
+            else:
+                h = h + a
+                xf = layer_norm(fp['ln'], h, eps=cfg.ln_eps)
+                h = h + dense(fp['w2'], jax.nn.relu(dense(fp['w1'], xf)))
 
+        if cfg.hf_compat:
+            h = jnp.concatenate([x1, h], axis=-1)
         h = layer_norm(params['ln_f'], h, eps=cfg.ln_eps)
         logits = jnp.dot(h, params['lm_head']['w'].astype(dtype),
                          preferred_element_type=jnp.float32)

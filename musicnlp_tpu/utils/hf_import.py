@@ -193,8 +193,9 @@ def from_hf_reformer(model_or_state, *, hf_config=None, **config_overrides):
     sequences within one LSH chunk) and are statistically equivalent
     elsewhere, per the Reformer multi-round estimator.
 
-    Imported models score/train through `forward`/`loss`; generation uses
-    `decode_step_exact` (the incremental caches assume the native stack).
+    Imported models score, train (autodiff through the reversible stack),
+    and decode through the standard incremental APIs -- the decode caches
+    carry the reversible two-stream residuals.
     """
     from musicnlp_tpu.models.reformer import ReformerConfig
 

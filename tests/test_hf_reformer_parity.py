@@ -111,3 +111,26 @@ def test_exact_decode_scores_match_forward():
                         pad_mask=pm)[:, :6]
     np.testing.assert_allclose(np.asarray(dec), np.asarray(fwd),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_imported_incremental_decode_matches_forward():
+    """Incremental (cached) decode now carries the reversible streams: within
+    the first chunk it is exact vs the forward."""
+    hf = _hf_model(seed=13, attn_layers=('local', 'lsh'))
+    cfg, params = from_hf_reformer(hf, dtype='float32')
+    model = Reformer(cfg)
+    params = jax.tree.map(jnp.asarray, params)
+    ids = jnp.asarray(np.random.default_rng(8).integers(0, 100, (2, 6)),
+                      jnp.int32)
+    st = model.init_decode_state(2)
+    outs = []
+    for t in range(6):
+        lg, st = model.decode_step(params, ids[:, t], st)
+        outs.append(lg)
+    dec = jnp.stack(outs, axis=1)
+    pm = jnp.concatenate([jnp.ones((2, 6), bool),
+                          jnp.zeros((2, T - 6), bool)], axis=1)
+    fwd = model.forward(params, jnp.pad(ids, ((0, 0), (0, T - 6))),
+                        pad_mask=pm)[:, :6]
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(fwd),
+                               rtol=3e-4, atol=3e-4)
