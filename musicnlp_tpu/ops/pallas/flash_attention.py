@@ -6,20 +6,32 @@ measured ~23 ms/layer forward at base/1024 on v5e vs ~1 ms of matmul FLOPs.
 This kernel computes attention blockwise with an online softmax (flash
 attention) and never materializes a score tensor.
 
-The TF-XL positional term BD[q,k] = rr_q . R(d), d = (M+q) - k, cannot use the
-rel-shift trick blockwise (lane-crossing reshapes don't lower in Mosaic), so
-it is decomposed via the sine angle-addition identity into PLAIN MATMULS:
+The TF-XL positional term BD[q,k] = rr_q . R_head(d), d = (M+q) - k, is
+computed two different ways:
+
+FORWARD: the TRUE relative shift, blockwise.  A [T+S, H] per-head table
+G[u] = W_r^T R(d), rows ordered by DECREASING clamped distance, is built
+outside (one tiny matmul); per block pair the kernel computes
+S1 = rr_blk @ G_window^T ([bq, 2b], two consecutive table blocks selected
+by the grid index map) and skews diagonals into (q, k) alignment with ONE
+strided roll -- `tpu.DynamicRotate` rotates row q by (shift + q), exactly
+the rel-shift lane-crossing reshape Mosaic cannot otherwise lower.  BD
+costs 2b MACs/pair (vs d_model for the decomposition below) and distance
+clamping is baked into the table rows for free.
+
+BACKWARD: the inverse skew needs a NEGATIVE roll stride, which Mosaic does
+not implement (and stride = W-1 overflows its per-vreg shift limit), so the
+backward keeps the sine angle-addition decomposition into plain matmuls:
     R(d)    = W_sin sin(d w) + W_cos cos(d w)
     BD[q,k] = U0[q] . cos(k w) + U1[q] . sin(k w)
       U0[q] = gs sin_q + gc cos_q          content factor, [T, F]
       U1[q] = gc sin_q - gs cos_q
       gs/gc = rr @ W_r(sin/cos halves);  sin_q/cos_q = sin/cos((M+q) w)
-exact for d <= clamp_len.  Clamped distances collapse to the same expression
-evaluated at d = L: BD(q, k_far) = U[q] . Vk[(M+q) - L], so the kernel takes
-position-only tables vklc/vkls[q] = cos/sin(((M+q)-L) w) and computes the
-clamped bias as an in-register row-wise dot -- no per-query f32 HBM vectors
-(a [BN, T, 1] array tiles to (8,128) on TPU: a 128x padding explosion,
-measured OOM).
+exact for d <= clamp_len; clamped distances collapse to the same expression
+evaluated at d = L via position-only tables vklc/vkls (an in-register
+row-wise dot -- a [BN, T, 1] HBM vector would tile to (8,128): a 128x
+padding explosion, measured OOM).  W_r's gradient flows entirely through
+this U-form path, so the forward table input carries a zero cotangent.
 
 The U factors are built INSIDE the kernel (once per q-block, in VMEM scratch)
 from rr [BN, T, H], the per-head W_r halves, and small [T, F] trig tables.
@@ -146,30 +158,43 @@ def _far_col(u0, u1, vklc, vkls):
                    axis=1, keepdims=True)
 
 
-def _make_fwd(M, scale, clamp_len, window, bq, bk, n_kb, H, out_dtype):
-    def kernel(mv_ref, rw_ref, rr_ref, k_ref, v_ref, wrs_ref, wrc_ref,
-               sq_ref, cq_ref, vkc_ref, vks_ref, vklc_ref, vkls_ref,
-               o_ref, u0_s, u1_s, acc, m_i, l_i):
+def _make_fwd(M, scale, window, bq, bk, n_kb, H, out_dtype):
+    """Forward kernel, BD via the TRUE relative shift: per q-block, one
+    [bq, H] x [H, 2b] matmul against the distance-ordered table window plus
+    ONE strided roll (tpu.DynamicRotate: out[q, j] = S1[q, j - s - q]) skews
+    diagonals into alignment -- 128 MACs/pair instead of the d_model-wide
+    angle-addition decomposition's 768 (which the backward still uses: the
+    inverse shear needs a negative roll stride Mosaic doesn't implement).
+    Distance clamping is baked into the table rows, so the forward far-bias
+    machinery disappears entirely."""
+    def kernel(mv_ref, rw_ref, rr_ref, k_ref, v_ref, g1_ref, g2_ref,
+               o_ref, acc, m_i, l_i):
         ki, qi = pl.program_id(2), pl.program_id(1)
         q0, k0 = qi * bq, ki * bk
 
         @pl.when(ki == 0)
         def _():
-            u0, u1 = _build_u(rr_ref, wrs_ref, wrc_ref, sq_ref, cq_ref,
-                              out_dtype)
-            u0_s[:] = u0
-            u1_s[:] = u1
             acc[:] = jnp.zeros_like(acc)
             m_i[:] = jnp.full_like(m_i, NEG_INF)
             l_i[:] = jnp.zeros_like(l_i)
 
-        def _update(masked, with_far=True):
-            far = (_far_col(u0_s[:], u1_s[:], vklc_ref[:], vkls_ref[:])
-                   if masked and with_far else None)
-            s, _ = _score_block(
-                rw_ref[0], u0_s[:], u1_s[:], k_ref[0], vkc_ref[:], vks_ref[:],
-                far, q0, k0, M, scale, clamp_len, mv_ref[0], bq, bk, masked,
-                with_far=with_far, window=window)
+        def _update(masked):
+            s = _dotT(rw_ref[0], k_ref[0])
+            s1 = jnp.concatenate([_dotT(rr_ref[0], g1_ref[0]),
+                                  _dotT(rr_ref[0], g2_ref[0])], axis=1)
+            bd = pltpu.roll(s1, bq + 1, 1, stride=1, stride_axis=0)[:, :bk]
+            s = (s + bd) * scale
+            if masked:
+                qpos = jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, bk), 0) + (M + q0)
+                kpos = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + k0
+                d = qpos - kpos
+                valid = d >= 0
+                if window:
+                    valid &= d < window
+                if M > 0:
+                    valid &= kpos >= (M - mv_ref[0])
+                s = jnp.where(valid, s, NEG_INF)
             m_prev = m_i[:]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
             p = jnp.exp(s - m_new)
@@ -184,21 +209,18 @@ def _make_fwd(M, scale, clamp_len, window, bq, bk, n_kb, H, out_dtype):
         visited = k0 <= M + q0 + bq - 1          # skip fully-future blocks
         if window:  # ...and blocks entirely behind the sliding window
             visited &= (M + q0 - (k0 + bk - 1)) < window
-        interior = _interior(q0, k0, M, clamp_len, mv_ref[0], bq, bk, window)
-        may_clamp = (M + q0 + bq - 1 - k0) > clamp_len   # any d > clamp here?
+        d_min = M + q0 - (k0 + bk - 1)
+        interior = (d_min >= 0) & (k0 >= M - mv_ref[0])
+        if window:
+            interior &= (M + q0 + bq - 1 - k0) < window
 
         @pl.when(visited & interior)
         def _():
             _update(masked=False)
 
-        @pl.when(visited & jnp.logical_not(interior) & may_clamp)
+        @pl.when(visited & jnp.logical_not(interior))
         def _():
-            _update(masked=True, with_far=True)
-
-        @pl.when(visited & jnp.logical_not(interior)
-                 & jnp.logical_not(may_clamp))
-        def _():
-            _update(masked=True, with_far=False)
+            _update(masked=True)
 
         @pl.when(ki == n_kb - 1)
         def _():
@@ -349,25 +371,35 @@ def _in_specs(bq, bk, H, F, N):
     ]
 
 
-def _fwd_call(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
-              mem_valid, *, M, scale, clamp_len, window, bq, bk,
-              interpret=False):
+def _fwd_specs(bq, bk, H, N, n_qb):
+    C = n_qb - 1
+    return [
+        pl.BlockSpec((1, bq, H), lambda b, i, j, mv: (b, i, 0)),    # rw
+        pl.BlockSpec((1, bq, H), lambda b, i, j, mv: (b, i, 0)),    # rr
+        pl.BlockSpec((1, bk, H), lambda b, i, j, mv: (b, j, 0)),    # k
+        pl.BlockSpec((1, bk, H), lambda b, i, j, mv: (b, j, 0)),    # v
+        # distance-table window: two consecutive blocks along the u axis
+        pl.BlockSpec((1, bq, H), lambda b, i, j, mv: (b % N, C - i + j, 0)),
+        pl.BlockSpec((1, bq, H),
+                     lambda b, i, j, mv: (b % N, C - i + j + 1, 0)),
+    ]
+
+
+def _fwd_call(rw3, rr3, k3, v3, g_tab, mem_valid, *, M, scale, window,
+              bq, bk, interpret=False):
     BN, T, H = rw3.shape
-    N, F, _ = wrs.shape
+    N = g_tab.shape[0]
     S = k3.shape[1]
     n_qb, n_kb = T // bq, S // bk
     P = _pad_to(H)
     mv = jnp.asarray(mem_valid, jnp.float32).astype(jnp.int32).reshape(1)
-    kernel = _make_fwd(M, scale, clamp_len, window, bq, bk, n_kb, H,
-                       rw3.dtype)
+    kernel = _make_fwd(M, scale, window, bq, bk, n_kb, H, rw3.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BN, n_qb, n_kb),
-        in_specs=_in_specs(bq, bk, H, F, N),
+        in_specs=_fwd_specs(bq, bk, H, N, n_qb),
         out_specs=pl.BlockSpec((1, bq, P), lambda b, i, j, mv: (b, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((bq, F), rw3.dtype),
-            pltpu.VMEM((bq, F), rw3.dtype),
             pltpu.VMEM((bq, H), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -376,14 +408,15 @@ def _fwd_call(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
     packed = pl.pallas_call(
         kernel, grid_spec=grid_spec, interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((BN, T, P), rw3.dtype),
-    )(mv, rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls)
+    )(mv, rw3, rr3, k3, v3, g_tab, g_tab)
     return packed
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(13, 14, 15, 16, 17, 18, 19))
+                   nondiff_argnums=(14, 15, 16, 17, 18, 19, 20))
 def flash_rel_attn(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
-                   mem_valid, M, scale, clamp_len, window, bq, bk, interpret):
+                   g_tab, mem_valid, M, scale, clamp_len, window, bq, bk,
+                   interpret):
     """Fused TF-XL attention core.
 
     rw3/rr3: [BN, T, H] queries + r_w_bias / r_r_bias.
@@ -394,16 +427,15 @@ def flash_rel_attn(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
     vklc/vkls: [T, F] the same evaluated at the clamp distance (Vk[(M+q)-L]).
     mem_valid: f32 scalar.  Returns ctx [BN, T, H].
     """
-    packed = _fwd_call(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc,
-                       vkls, mem_valid, M=M, scale=scale, clamp_len=clamp_len,
+    packed = _fwd_call(rw3, rr3, k3, v3, g_tab, mem_valid, M=M, scale=scale,
                        window=window, bq=bq, bk=bk, interpret=interpret)
     return packed[..., :rw3.shape[-1]]
 
 
 def _flash_fwd(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
-               mem_valid, M, scale, clamp_len, window, bq, bk, interpret):
-    packed = _fwd_call(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc,
-                       vkls, mem_valid, M=M, scale=scale, clamp_len=clamp_len,
+               g_tab, mem_valid, M, scale, clamp_len, window, bq, bk,
+               interpret):
+    packed = _fwd_call(rw3, rr3, k3, v3, g_tab, mem_valid, M=M, scale=scale,
                        window=window, bq=bq, bk=bk, interpret=interpret)
     H = rw3.shape[-1]
     out = packed[..., :H]
@@ -473,9 +505,13 @@ def _flash_bwd(M, scale, clamp_len, window, bq, bk, interpret, res, g):
     dwrc_h = jnp.sum(dwrc.reshape(B, N, F, H), axis=0).astype(wrc.dtype)
 
     z = jnp.zeros_like
+    # the distance table g_tab is a pure function of W_r whose gradient is
+    # fully accounted for by the dwrs/dwrc (U-form) path above -> zero
+    g_zero = jnp.zeros((wrs.shape[0], rw3.shape[1] + k3.shape[1],
+                        rw3.shape[2]), wrs.dtype)
     return (drw, drr, dk.astype(k3.dtype), dv.astype(v3.dtype),
             dwrs_h, dwrc_h, z(sq), z(cq), z(vkc), z(vks), z(vklc), z(vkls),
-            jnp.zeros((), jnp.float32))
+            g_zero, jnp.zeros((), jnp.float32))
 
 
 flash_rel_attn.defvjp(_flash_fwd, _flash_bwd)
@@ -545,9 +581,26 @@ def fused_rel_attn(
     k3 = k.transpose(0, 2, 1, 3).reshape(BN, S, d_head)
     v3 = v.transpose(0, 2, 1, 3).reshape(BN, S, d_head)
 
+    # the shear-based forward needs a COMMON block size (its window/index
+    # arithmetic assumes square block pairs); the smaller of the two always
+    # divides both lengths (powers of two >= 128)
+    b = min(bq, bk)
+    assert T % b == 0 and S % b == 0
+
+    # distance table for the forward shear: rows ordered by DECREASING
+    # distance d = (M+T-1) - u, clamped (so clamping costs nothing in the
+    # kernel); rows for d < 0 are masked and their content irrelevant
+    d_vals = (M + T - 1) - jnp.arange(T + S)
+    d_eff = jnp.clip(d_vals, 0, clamp_len).astype(jnp.float32)
+    sin_g, cos_g = _sin_cos(d_eff, d_model)
+    r_g = jnp.concatenate([sin_g, cos_g], axis=-1).astype(dtype)  # [T+S, D]
+    g_tab = jnp.einsum('ud,dnh->nuh', r_g, Wr,
+                       preferred_element_type=jnp.float32).astype(dtype)
+
     ctx3 = flash_rel_attn(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks,
-                          vklc, vkls, jnp.asarray(mem_valid, jnp.float32),
-                          M, scale, int(clamp_len), int(window or 0), bq, bk,
+                          vklc, vkls, g_tab,
+                          jnp.asarray(mem_valid, jnp.float32),
+                          M, scale, int(clamp_len), int(window or 0), b, b,
                           interpret)
     ctx = ctx3.reshape(B, n_head, T, d_head).transpose(0, 2, 1, 3)
     out = jnp.einsum('bqnh,nhd->bqd', ctx, p['o'].astype(dtype),
