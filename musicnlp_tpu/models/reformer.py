@@ -24,7 +24,7 @@ TPU-native substitutions (same capability, better mapping to XLA):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -21,7 +21,7 @@ TPU-native differences (design, not behavior):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from musicnlp_tpu.ops.attention import rel_attn, rel_attn_decode_step, rel_attn_init
 from musicnlp_tpu.ops.layers import (
-    Params, dense, embedding_init, ffn, ffn_init, dropout,
+    Params, embedding_init, ffn, ffn_init, dropout,
 )
 from musicnlp_tpu.ops.losses import (
     PT_LOSS_PAD, chunked_shifted_ce_loss, ntp_accuracy, shifted_ce_loss,

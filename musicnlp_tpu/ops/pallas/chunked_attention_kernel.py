@@ -40,7 +40,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ['chunked_window_attn', 'chunked_attn_available']
 

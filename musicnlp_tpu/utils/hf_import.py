@@ -22,7 +22,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
-from musicnlp_tpu.models.transformer_xl import TransfoXL, TransfoXLConfig
+from musicnlp_tpu.models.transformer_xl import TransfoXLConfig
 
 __all__ = ['from_hf_transfo_xl', 'to_hf_transfo_xl',
            'from_hf_reformer', 'to_hf_reformer']
@@ -147,7 +147,7 @@ def to_hf_transfo_xl(cfg: TransfoXLConfig, params: Dict[str, Any]):
         dropatt=cfg.dropatt, pre_lnorm=cfg.pre_lnorm,
         same_length=cfg.attn_window is not None)
     model = TransfoXLLMHeadModel(hc)
-    g = jax_to_np = lambda x: torch.from_numpy(np.asarray(x, np.float32))
+    g = lambda x: torch.from_numpy(np.asarray(x, np.float32))
     sd = model.state_dict()
     N, H, d = cfg.n_head, cfg.d_head, cfg.d_model
     new = {}
