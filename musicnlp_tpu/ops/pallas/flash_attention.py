@@ -112,52 +112,6 @@ def _dot(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _build_u(rr_ref, wrs_ref, wrc_ref, sq_ref, cq_ref, dtype):
-    """U factors for one q block: (u0, u1) each [bq, F] in compute dtype."""
-    rr = rr_ref[0]
-    gs = _dotT(rr, wrs_ref[0])                       # [bq, F] f32
-    gc = _dotT(rr, wrc_ref[0])
-    sq = sq_ref[:].astype(jnp.float32)
-    cq = cq_ref[:].astype(jnp.float32)
-    u0 = (gs * sq + gc * cq).astype(dtype)
-    u1 = (gc * sq - gs * cq).astype(dtype)
-    return u0, u1
-
-
-def _score_block(rw, u0, u1, kb, vkc, vks, far_col, q0, k0, M, scale,
-                 clamp_len, mem_valid, bq, bk, masked, with_far=True,
-                 window=0):
-    """Masked, scaled scores [bq, bk] f32 (+ d when masked).
-
-    `with_far` is a trace-time flag: whether any distance in this block pair
-    can exceed clamp_len (static given q0/k0 bounds); skipping the clamp
-    select + per-query far dot on the many blocks that can't saves real VPU
-    time -- masked-block elementwise work is the kernel's hot spot."""
-    s = _dotT(rw, kb)
-    bd = _dotT(u0, vkc) + _dotT(u1, vks)
-    if not masked:
-        return (s + bd) * scale, None
-    qpos = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0) + (M + q0)
-    kpos = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + k0
-    d = qpos - kpos
-    if with_far:
-        bd = jnp.where(d > clamp_len, far_col, bd)
-    s = (s + bd) * scale
-    valid = d >= 0
-    if window:  # sliding-window (HF same_length) masking
-        valid &= d < window
-    if M > 0:  # memory-validity check statically impossible when M == 0
-        valid &= kpos >= (M - mem_valid)
-    return jnp.where(valid, s, NEG_INF), d
-
-
-def _far_col(u0, u1, vklc, vkls):
-    """Clamped-distance bias per query: rowwise dot U[q] . VkL[q] -> [bq, 1]."""
-    return jnp.sum(u0.astype(jnp.float32) * vklc.astype(jnp.float32)
-                   + u1.astype(jnp.float32) * vkls.astype(jnp.float32),
-                   axis=1, keepdims=True)
-
-
 def _make_fwd(M, scale, window, bq, bk, n_kb, H, out_dtype):
     """Forward kernel, BD via the TRUE relative shift: per q-block, one
     [bq, H] x [H, 2b] matmul against the distance-ordered table window plus
@@ -240,14 +194,19 @@ def _make_fwd(M, scale, window, bq, bk, n_kb, H, out_dtype):
 def _make_bwd_fused(M, scale, clamp_len, window, bq, bk, n_qb, n_kb, H, grad_dtype):
     """Grid (BN, n_qb, n_kb), k minor: ONE score recompute per block pair.
 
-    drw/dU accumulate in scratch across the k sweep; at each q-block's last k
-    step dU converts to drr (and dW_r partials accumulate across the q sweep).
-    dk/dv accumulate straight into their full-[S, H] output blocks, which stay
-    resident in VMEM for the whole (b) window (index map ignores i/j)."""
-    def kernel(mv_ref, rw_ref, rr_ref, k_ref, v_ref, wrs_ref, wrc_ref,
-               sq_ref, cq_ref, vkc_ref, vks_ref, vklc_ref, vkls_ref,
-               dod_ref, drw_ref, drr_ref, dk_ref, dv_ref, dwrs_ref, dwrc_ref,
-               u0_s, u1_s, drw_acc, du0_acc, du1_acc, dwrs_acc, dwrc_acc):
+    The score recompute uses the same shear as the forward (table matmul +
+    strided roll -- cheap); only the GRADIENT of the positional term runs
+    through the angle-addition (U-form) tables, since its inverse skew is
+    not expressible as a Mosaic roll.  drw/dU accumulate in scratch across
+    the k sweep; at each q-block's last k step dU converts to drr (and dW_r
+    partials accumulate across the q sweep).  dk/dv accumulate straight into
+    their full-[S, H] output blocks, which stay resident in VMEM for the
+    whole (b) window (index map ignores i/j)."""
+    def kernel(mv_ref, rw_ref, rr_ref, k_ref, v_ref, g1_ref, g2_ref,
+               wrs_ref, wrc_ref, sq_ref, cq_ref, vkc_ref, vks_ref,
+               vklc_ref, vkls_ref, dod_ref,
+               drw_ref, drr_ref, dk_ref, dv_ref, dwrs_ref, dwrc_ref,
+               drw_acc, du0_acc, du1_acc, dwrs_acc, dwrc_acc):
         ki, qi = pl.program_id(2), pl.program_id(1)
         q0, k0 = qi * bq, ki * bk
 
@@ -260,21 +219,28 @@ def _make_bwd_fused(M, scale, clamp_len, window, bq, bk, n_qb, n_kb, H, grad_dty
 
         @pl.when(ki == 0)
         def _():
-            u0, u1 = _build_u(rr_ref, wrs_ref, wrc_ref, sq_ref, cq_ref,
-                              grad_dtype)
-            u0_s[:] = u0
-            u1_s[:] = u1
             drw_acc[:] = jnp.zeros_like(drw_acc)
             du0_acc[:] = jnp.zeros_like(du0_acc)
             du1_acc[:] = jnp.zeros_like(du1_acc)
 
         def _update(masked, with_far=True):
-            far = (_far_col(u0_s[:], u1_s[:], vklc_ref[:], vkls_ref[:])
-                   if masked and with_far else None)
-            s, d = _score_block(
-                rw_ref[0], u0_s[:], u1_s[:], k_ref[0], vkc_ref[:], vks_ref[:],
-                far, q0, k0, M, scale, clamp_len, mv_ref[0], bq, bk, masked,
-                with_far=with_far, window=window)
+            s = _dotT(rw_ref[0], k_ref[0])
+            s1 = jnp.concatenate([_dotT(rr_ref[0], g1_ref[0]),
+                                  _dotT(rr_ref[0], g2_ref[0])], axis=1)
+            bd = pltpu.roll(s1, bq + 1, 1, stride=1, stride_axis=0)[:, :bk]
+            s = (s + bd) * scale
+            d = None
+            if masked:
+                qpos = jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, bk), 0) + (M + q0)
+                kpos = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1) + k0
+                d = qpos - kpos
+                valid = d >= 0
+                if window:
+                    valid &= d < window
+                if M > 0:
+                    valid &= kpos >= (M - mv_ref[0])
+                s = jnp.where(valid, s, NEG_INF)
             dod = dod_ref[0].astype(jnp.float32)               # [bq, P]
             lse = dod[:, H:H + 1]
             delta = dod[:, H + 1:H + 2]
@@ -440,12 +406,12 @@ def _flash_fwd(rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
     H = rw3.shape[-1]
     out = packed[..., :H]
     return out, (rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
-                 mem_valid, packed)
+                 g_tab, mem_valid, packed)
 
 
 def _flash_bwd(M, scale, clamp_len, window, bq, bk, interpret, res, g):
     (rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls,
-     mem_valid, packed) = res
+     g_tab, mem_valid, packed) = res
     BN, T, H = rw3.shape
     N, F, _ = wrs.shape
     S = k3.shape[1]
@@ -465,11 +431,18 @@ def _flash_bwd(M, scale, clamp_len, window, bq, bk, interpret, res, g):
 
     kf = _make_bwd_fused(M, scale, clamp_len, window, bq, bk, n_qb, n_kb,
                          H, rw3.dtype)
+    base_specs = _in_specs(bq, bk, H, F, N)
+    C = n_qb - 1
+    g_specs = [
+        pl.BlockSpec((1, bq, H), lambda b, i, j, mv: (b % N, C - i + j, 0)),
+        pl.BlockSpec((1, bq, H),
+                     lambda b, i, j, mv: (b % N, C - i + j + 1, 0)),
+    ]
     drw, drr, dk, dv, dwrs, dwrc = pl.pallas_call(
         kf,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(BN, n_qb, n_kb),
-            in_specs=_in_specs(bq, bk, H, F, N) + [
+            in_specs=base_specs[:4] + g_specs + base_specs[4:] + [
                 pl.BlockSpec((1, bq, P), lambda b, i, j, mv: (b, i, 0)),
             ],
             out_specs=[
@@ -481,8 +454,6 @@ def _flash_bwd(M, scale, clamp_len, window, bq, bk, interpret, res, g):
                 pl.BlockSpec((1, F, H), lambda b, i, j, mv: (b, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((bq, F), rw3.dtype),
-                pltpu.VMEM((bq, F), rw3.dtype),
                 pltpu.VMEM((bq, H), jnp.float32),
                 pltpu.VMEM((bq, F), jnp.float32),
                 pltpu.VMEM((bq, F), jnp.float32),
@@ -499,7 +470,8 @@ def _flash_bwd(M, scale, clamp_len, window, bq, bk, interpret, res, g):
             jax.ShapeDtypeStruct((BN, F, H), jnp.float32),
             jax.ShapeDtypeStruct((BN, F, H), jnp.float32),
         ],
-    )(mv, rw3, rr3, k3, v3, wrs, wrc, sq, cq, vkc, vks, vklc, vkls, dod)
+    )(mv, rw3, rr3, k3, v3, g_tab, g_tab, wrs, wrc, sq, cq, vkc, vks,
+      vklc, vkls, dod)
     B = BN // N
     dwrs_h = jnp.sum(dwrs.reshape(B, N, F, H), axis=0).astype(wrs.dtype)
     dwrc_h = jnp.sum(dwrc.reshape(B, N, F, H), axis=0).astype(wrc.dtype)
