@@ -268,6 +268,11 @@ class TransfoXL:
         cfg = self.cfg
         if not cfg.use_flash or attn_mask is not None or cfg.dropatt > 0:
             return False
+        if cfg.d_head < 32 or cfg.d_model < 256:
+            # debug-size models: the backward kernel's Mosaic compile is
+            # pathologically slow at sub-32 head dims (~6 min, measured);
+            # the jnp path is plenty fast at these sizes anyway
+            return False
         if not self._pick_block(Q, cfg.flash_block_q) \
                 or not self._pick_block(S, cfg.flash_block_k):
             return False
