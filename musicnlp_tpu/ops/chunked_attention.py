@@ -269,7 +269,11 @@ def lsh_attention(
                            ).astype(qk.dtype).reshape(G, R, T, D)
         lse = lse.reshape(G, R, T)
 
-    out_o = _unpermute_rounds(out_s, s_idx, undo)
-    lse_o = _unpermute_rounds(lse[..., None], s_idx, undo)[..., 0]
+    # one unpermute for context + lse (packed in the lane padding)
+    packed = jnp.concatenate(
+        [out_s, lse[..., None].astype(out_s.dtype)], axis=-1)
+    packed_o = _unpermute_rounds(packed, s_idx, undo)
+    out_o = packed_o[..., :D]
+    lse_o = packed_o[..., D].astype(jnp.float32)
     w = jax.nn.softmax(lse_o, axis=1)[..., None].astype(qk.dtype)
     return jnp.sum(out_o * w, axis=1).reshape(B, H, T, D)
