@@ -248,18 +248,26 @@ def note2dur(note: ExtNote) -> Fraction:
 
 
 def note2pitch(note: ExtNote) -> float:
-    """Pitch for skyline ordering: tuplet pitch = duration-weighted mean midi
-    (reference music_lib.py:148-157); rests are lowest."""
+    """Pitch for skyline ordering, in Hz (reference music_lib.py:148-157): note =
+    equal-tempered frequency, rest = 0, tuplet = duration-weighted mean over
+    members (so a rest member pulls the average down without dominating it).
+    Frequency (not midi) matters: the exponential scale reorders tuplet
+    averages relative to plain notes, and the reference's skyline decisions
+    depend on it."""
     if isinstance(note, tuple):
         tot = sum((n.dur for n in note), Fraction(0))
         if tot == 0:
-            return float('-inf')
+            return 0.0
         return float(sum(note2pitch(n) * n.dur for n in note) / tot)
     if isinstance(note, Rest):
-        return float('-inf')
+        return 0.0
     if isinstance(note, Chord):
-        return max(p.midi for p in note.pitches)
-    return note.pitch.midi
+        return _midi2freq(max(p.midi for p in note.pitches))
+    return _midi2freq(note.pitch.midi)
+
+
+def _midi2freq(midi: int) -> float:
+    return 440.0 * 2.0 ** ((midi - 69) / 12.0)
 
 
 def get_offset(note: ExtNote) -> Fraction:

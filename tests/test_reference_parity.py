@@ -167,34 +167,21 @@ def _goldens():
         return json.load(f)
 
 
-# the fast CI subset covers each round-1 crash class: drum-only misflag,
-# negative MXL offsets, Chord-in-tuplet repair, skyline recursion blowup,
-# gappy-tuplet bar invalidity, malformed inputs
-CI_SUBSET = [
-    'Adele - Rolling in the Deep (freemidi).mid',
-    "Bee Gees - Stayin' Alive (bitmidi).mxl",
-    'Alan Walker - Faded (Carlo Prato).mid',
-    'John Denver - Take Me Home Country Roads (freemidi).mid',
-    'Luis Fonsi ft. Daddy Yankee - Despacito (freemidi).mid',
-    'Ed Sheeran - Shape of You (Carlo Prato).mxl',
-]
-
-
-def test_extractor_real_world_goldens():
+@pytest.mark.parametrize('name', sorted(_goldens()))
+def test_extractor_real_world_goldens(name):
     """The extractor handles the reference's raw real-world inputs (the files
-    that crashed round 1) byte-reproducibly, with tracked warnings."""
+    that crashed round 1) byte-reproducibly, with PINNED warning counts --
+    all 17 goldens run in CI (round-2 verdict: the <200/bar bound and the
+    6-file subset asserted almost nothing)."""
     g = _goldens()
-    names = list(g) if FULL else CI_SUBSET
-    for name in names:
-        wl = WarnLog(verbose=False)
-        me = MusicExtractor(mode='full', with_pitch_step=True, warn_logger=wl)
-        text = me(os.path.join(ORIGINAL, name), exp='str_join')
-        want = g[name]
-        assert hashlib.sha256(text.encode()).hexdigest() == want['sha256'], name
-        assert len(text.split()) == want['n_tokens']
-        assert text.count('<bar>') == want['n_bars']
-        # warning *rate* stays bounded: raw MIDIs are messy but finite
-        assert len(wl) / max(want['n_bars'], 1) < 200, name
+    wl = WarnLog(verbose=False)
+    me = MusicExtractor(mode='full', with_pitch_step=True, warn_logger=wl)
+    text = me(os.path.join(ORIGINAL, name), exp='str_join')
+    want = g[name]
+    assert hashlib.sha256(text.encode()).hexdigest() == want['sha256'], name
+    assert len(text.split()) == want['n_tokens']
+    assert text.count('<bar>') == want['n_bars']
+    assert len(wl) == want['n_warnings'], name
 
 
 @pytest.mark.skipif(not FULL, reason='set PARITY_FULL=1 for the 80-file sweep')
