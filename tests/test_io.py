@@ -45,8 +45,18 @@ def test_time_sig2bar_dur():
 
 
 def test_note2pitch_tuplet_weighted():
+    """Skyline pitch is in Hz (reference music_lib.py:148-157): tuplet =
+    duration-weighted mean frequency, rest contributes 0 Hz."""
+    from musicnlp_tpu.io.score import Rest
+    c4, c5 = 261.6255653005986, 523.2511306011972
     t = (Note(pitch=60, duration=Fraction(1, 3)), Note(pitch=72, duration=Fraction(2, 3)))
-    assert note2pitch(t) == pytest.approx(68.0)
+    assert note2pitch(t) == pytest.approx((c4 + 2 * c5) / 3)
+    assert note2pitch(Note(pitch=60, duration=Fraction(1))) == pytest.approx(c4)
+    assert note2pitch(Rest(duration=Fraction(1))) == 0.0
+    # a rest member pulls the average down without dominating it
+    tr = (Rest(duration=Fraction(1, 3), offset=Fraction(0)),
+          Note(pitch=72, duration=Fraction(2, 3), offset=Fraction(1, 3)))
+    assert note2pitch(tr) == pytest.approx(2 * c5 / 3)
 
 
 def test_midi_roundtrip(tmp_path):
