@@ -305,7 +305,7 @@ def read_midi(path: str, merge_chords: bool = True) -> Score:
             if ql >= bars[-1][0]:
                 tempo_by_bar.setdefault(len(bars) - 1, bpm)
 
-    score = Score(title=title)
+    score = Score(title=title, source='midi')
     for name, program, ch, notes in parts_notes:
         part = Part(name=name, is_drum=(ch == 9), midi_program=program, midi_channel=ch)
         # slice notes into bars with ties
@@ -354,7 +354,8 @@ def _merge_chords(elems: List[Note]) -> List:
             j += 1
         if len(group) > 1:
             out.append(Chord(pitches=[g.pitch for g in group], duration=n.dur,
-                             offset=n.offset, velocity=max(g.velocity for g in group)))
+                             offset=n.offset, velocity=max(g.velocity for g in group),
+                             tm=getattr(n, 'tm', None)))
         else:
             out.append(n)
         i = j

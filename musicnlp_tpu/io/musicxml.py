@@ -71,7 +71,8 @@ def _note_xml(parent: ET.Element, e, chord_pitch: Optional[Pitch] = None, is_cho
         if den_odd > 1:
             tm = ET.SubElement(n, 'time-modification')
             ET.SubElement(tm, 'actual-notes').text = str(den_odd)
-            ET.SubElement(tm, 'normal-notes').text = str(1 if den_odd == 3 else 2 ** max(0, den_odd.bit_length() - 1) // 2 or 1)
+            # conventional ratio: n-plet in the time of the next-lower power of 2
+            ET.SubElement(tm, 'normal-notes').text = str(2 ** (den_odd.bit_length() - 1))
     return n
 
 
@@ -224,7 +225,7 @@ def read_musicxml_bytes(data: bytes) -> Score:
         ch = _text(sp.find('.//midi-instrument/midi-channel'))
         part_drum[pid] = (ch == '10')
 
-    score = Score(title=title or '', composer=composer)
+    score = Score(title=title or '', composer=composer, source='musicxml')
     for pe in root.findall('./part'):
         pid = pe.get('id')
         part = Part(name=part_names.get(pid, pid), is_drum=part_drum.get(pid, False))
@@ -287,8 +288,14 @@ def read_musicxml_bytes(data: bytes) -> Score:
                         tie = 'start'
                     elif 'stop' in ties:
                         tie = 'stop'
+                    tme = el.find('time-modification')
+                    tm = None
+                    if tme is not None:
+                        a, nn = _text(tme.find('actual-notes')), _text(tme.find('normal-notes'))
+                        if a and nn:
+                            tm = (int(a), int(nn))
                     if rest:
-                        obj = Rest(duration=ql, offset=start)
+                        obj = Rest(duration=ql, offset=start, tm=tm)
                     else:
                         p = el.find('pitch')
                         if p is None:  # unpitched (percussion)
@@ -302,7 +309,7 @@ def read_musicxml_bytes(data: bytes) -> Score:
                             octv = int(_text(p.find('octave')))
                             acc = '#' * alter if alter > 0 else '-' * (-alter)
                             pitch = Pitch.from_name(f'{step}{acc}', octv)
-                        obj = Note(pitch=pitch, duration=ql, offset=start, tie=tie)
+                        obj = Note(pitch=pitch, duration=ql, offset=start, tie=tie, tm=tm)
                     voices.setdefault(voice, []).append(obj)
                     if not is_chord:
                         last_note_start = pos

@@ -20,7 +20,7 @@ __all__ = [
     'Measure', 'Part', 'Score', 'TsTup',
     'MIDI_SPELLING', 'midi2step_octave',
     'note2dur', 'note2pitch', 'get_offset', 'get_end_qlen', 'flatten_notes', 'unpack_notes',
-    'time_sig2bar_dur', 'eps',
+    'time_sig2bar_dur', 'tuplet_name', 'eps',
 ]
 
 Dur = Union[int, float, Fraction]
@@ -127,37 +127,41 @@ class _DurView:
 
 
 class Note(_Timed):
-    __slots__ = ('pitch', 'velocity', 'tie')
+    __slots__ = ('pitch', 'velocity', 'tie', 'tm')
 
     def __init__(self, pitch: Union[Pitch, int] = 60, duration: Dur = 1, offset: Dur = 0,
-                 velocity: int = 90, tie: str = None):
+                 velocity: int = 90, tie: str = None, tm: Optional[Tuple[int, int]] = None):
         super().__init__(duration, offset)
         self.pitch = pitch if isinstance(pitch, Pitch) else Pitch(midi=int(pitch))
         self.velocity = velocity
         self.tie = tie  # None | 'start' | 'stop' | 'continue'
+        self.tm = tm    # MusicXML <time-modification> (actual, normal) or None
 
     def __repr__(self):
         return f'Note({self.pitch.name_with_octave}, off={self.offset}, ql={self.dur})'
 
 
 class Rest(_Timed):
-    __slots__ = ()
+    __slots__ = ('tm',)
 
-    def __init__(self, duration: Dur = 1, offset: Dur = 0, quarterLength: Dur = None):
+    def __init__(self, duration: Dur = 1, offset: Dur = 0, quarterLength: Dur = None,
+                 tm: Optional[Tuple[int, int]] = None):
         super().__init__(quarterLength if quarterLength is not None else duration, offset)
+        self.tm = tm
 
     def __repr__(self):
         return f'Rest(off={self.offset}, ql={self.dur})'
 
 
 class Chord(_Timed):
-    __slots__ = ('pitches', 'velocity')
+    __slots__ = ('pitches', 'velocity', 'tm')
 
     def __init__(self, pitches: Sequence[Union[Pitch, int]] = (), duration: Dur = 1,
-                 offset: Dur = 0, velocity: int = 90):
+                 offset: Dur = 0, velocity: int = 90, tm: Optional[Tuple[int, int]] = None):
         super().__init__(duration, offset)
         self.pitches = [p if isinstance(p, Pitch) else Pitch(midi=int(p)) for p in pitches]
         self.velocity = velocity
+        self.tm = tm
 
     @property
     def pitch_classes(self) -> List[int]:
@@ -210,6 +214,7 @@ class Score:
     title: str = ''
     composer: str = 'musicnlp_tpu'
     parts: List[Part] = field(default_factory=list)
+    source: str = ''  # 'musicxml' | 'midi' | '' (programmatic)
 
     def __iter__(self) -> Iterator[Part]:
         return iter(self.parts)
@@ -240,6 +245,22 @@ class Score:
 
 
 # ---------------------------------------------------------------------- note algebra
+def tuplet_name(tm: Tuple[int, int]) -> str:
+    """Tuplet run-class from a (actual, normal) time-modification, mirroring the
+    name classes of music21's `Tuplet.fullName` that the reference groups runs
+    by (reference music_extractor.py:183-194, music_lib.py:286-298): a run of
+    tuplet elements continues while the name class matches, and all generic
+    ratios share one 'Tuplet' class."""
+    a, n = tm
+    if a == 3 and n == 2:
+        return 'Triplet'
+    if a == 5 and n in (4, 2):
+        return 'Quintuplet'
+    if a == 7 and n == 4:
+        return 'Septuplet'
+    return 'Tuplet'
+
+
 def note2dur(note: ExtNote) -> Fraction:
     """Duration of a note or whole tuplet group (reference music_lib.py note2dur)."""
     if isinstance(note, tuple):

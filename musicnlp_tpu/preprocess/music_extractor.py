@@ -31,7 +31,8 @@ import numpy as np
 
 from musicnlp_tpu.io.score import (
     Chord, Dur, ExtNote, Measure, Note, Rest, Score, SNote, TsTup,
-    flatten_notes, get_end_qlen, get_offset, note2dur, note2pitch, time_sig2bar_dur,
+    flatten_notes, get_end_qlen, get_offset, note2dur, note2pitch,
+    time_sig2bar_dur, tuplet_name,
 )
 from musicnlp_tpu.io.note_ops import (
     PrecisionChecker, fill_with_rest, get_notes_duration, is_notes_pos_duration,
@@ -71,10 +72,14 @@ def _filled_ranges(notes: Iterable[ExtNote]) -> List[Tuple[float, float]]:
 
 
 def _note2clean_note(note: ExtNote, q_len: Dur = None) -> ExtNote:
-    """Copy with optionally-overridden duration; tuplets share total duration evenly."""
+    """Copy with optionally-overridden duration.  Tuplet members are ALWAYS
+    re-split evenly over the group's total duration with back-to-back offsets
+    (reference music_lib.py:184-229 note2clean_note: q_len defaults to the
+    tuplet total) -- this is what equalizes mixed-duration brackets like
+    dotted-16th+32nd+16th before the precision checks."""
     if isinstance(note, tuple):
         if q_len is None:
-            return tuple(_note2clean_note(n) for n in note)
+            q_len = note2dur(note)
         dur_ea = Fraction(q_len) / len(note)
         out, off = [], note[0].offset
         for n in note:
@@ -149,6 +154,9 @@ class MusicExtractor:
         self.verbose = verbose
         self.eps = epsilon
         self.with_pitch_step = with_pitch_step
+        # notation-marked sources (MusicXML) override arithmetic inference;
+        # set per song in __call__ from Score.source
+        self._infer_tuplets = True
         self.vocab = MusicVocabulary(
             precision=precision, pitch_kind='step' if with_pitch_step else 'midi')
         self.meta = dict(mode=mode, precision=precision, with_pitch_step=with_pitch_step,
@@ -196,6 +204,25 @@ class MusicExtractor:
         return [Note(pitch=p, duration=c.dur, offset=c.offset, velocity=c.velocity)
                 for p in c.pitches]
 
+    def _tuplet_run_class(self, elm) -> Optional[Tuple[str, int]]:
+        """(run-class name, n_tup) if this element starts/continues a tuplet run.
+
+        MusicXML sources carry explicit <time-modification> notation; the run
+        class mirrors music21's `Tuplet.fullName` name classes the reference
+        groups by (reference music_extractor.py:183-194: a run continues while
+        the name matches, and n_tup = actual-notes of the first element).
+        MIDI sources have no tuplet notation, so cardinality is inferred
+        arithmetically from the duration there (first-party behavior; the
+        reference never parses MIDI directly)."""
+        tm = getattr(elm, 'tm', None)
+        if tm is not None:
+            return tuplet_name(tm), tm[0]
+        if self._infer_tuplets:
+            n = _tuplet_n(Fraction(elm.dur))
+            if n > 1:
+                return f'inferred/{n}', n
+        return None
+
     def expand_bar(self, elements: List, time_sig: TsTup, keep_chord: bool = False,
                    number: int = None) -> List[ExtNote]:
         """Flatten a bar's element stream into notes, grouping n-plets with repair
@@ -204,12 +231,15 @@ class MusicExtractor:
         it = iter(elements)
         elm = next(it, None)
         while elm is not None:
-            d = Fraction(elm.dur)
-            n_tup = _tuplet_n(d)
-            if n_tup > 1:  # tuplet member: collect the run of same-cardinality elements
+            run = self._tuplet_run_class(elm)
+            if run is not None:  # collect the run of same-class tuplet elements
+                name, n_tup = run
                 elms_tup: List[Union[Rest, Note, Chord]] = [elm]
                 elm_ = next(it, None)
-                while elm_ is not None and _tuplet_n(Fraction(elm_.dur)) == n_tup:
+                while elm_ is not None:
+                    run_ = self._tuplet_run_class(elm_)
+                    if run_ is None or run_[0] != name:
+                        break
                     elms_tup.append(elm_)
                     elm_ = next(it, None)
 
@@ -677,6 +707,9 @@ class MusicExtractor:
             song_path = song
             song = parse_file(song)
         song_for_key = song if return_key else None
+        # MusicXML carries explicit tuplet notation (the reference's music21
+        # `fullName` source); only duration-infer tuplets for MIDI/programmatic
+        self._infer_tuplets = getattr(song, 'source', '') != 'musicxml'
 
         title = (song.title or 'untitled').removesuffix('.mxl').removesuffix('.musicxml')
         lst_bar_info = list(self.it_bars(song))
