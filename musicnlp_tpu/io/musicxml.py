@@ -221,14 +221,21 @@ def read_musicxml_bytes(data: bytes) -> Score:
     for sp in root.findall('./part-list/score-part'):
         pid = sp.get('id')
         part_names[pid] = _text(sp.find('part-name'), pid)
-        # percussion detection: unpitched midi or channel 10
+        # percussion detection: channel 10, or an unpitched-drum instrument
+        # name (the reference's instrs_drum classes, music_lib.py:90-97 --
+        # music21 resolves MusicXML instrument names to these)
         ch = _text(sp.find('.//midi-instrument/midi-channel'))
-        part_drum[pid] = (ch == '10')
+        names = ' '.join(filter(None, (
+            _text(el) for el in sp.findall('.//instrument-name')))).lower()
+        drum_instr = any(k in names for k in (
+            'bass drum', 'snare', 'bongo', 'conga', 'tenor drum'))
+        part_drum[pid] = (ch == '10') or drum_instr
 
     score = Score(title=title or '', composer=composer, source='musicxml')
     for pe in root.findall('./part'):
         pid = pe.get('id')
         part = Part(name=part_names.get(pid, pid), is_drum=part_drum.get(pid, False))
+        n_pitched = n_unpitched = 0
         divisions = DIVISIONS
         cur_ts: Optional[Tuple[int, int]] = None
         bar_offset = Fraction(0)
@@ -299,11 +306,13 @@ def read_musicxml_bytes(data: bytes) -> Score:
                     else:
                         p = el.find('pitch')
                         if p is None:  # unpitched (percussion)
+                            n_unpitched += 1
                             up = el.find('unpitched')
                             step = _text(up.find('display-step'), 'C') if up is not None else 'C'
                             octv = int(_text(up.find('display-octave'), '4')) if up is not None else 4
                             pitch = Pitch.from_name(step, octv)
                         else:
+                            n_pitched += 1
                             step = _text(p.find('step'))
                             alter = int(float(_text(p.find('alter'), '0')))
                             octv = int(_text(p.find('octave')))
@@ -335,5 +344,9 @@ def read_musicxml_bytes(data: bytes) -> Score:
             content_end = max((e.end for e in m.elements), default=Fraction(0))
             bar_offset += bar_dur if bar_dur is not None else content_end
             part.measures.append(m)
+        # reference is_drum_track (music_lib.py:301-320): a part whose notes
+        # are all unpitched is percussion even off channel 10
+        if n_unpitched and not n_pitched:
+            part.is_drum = True
         score.parts.append(part)
     return score

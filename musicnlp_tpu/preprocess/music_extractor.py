@@ -103,6 +103,38 @@ def _is_8th(d: Dur) -> bool:
     return (Fraction(d) * 2).denominator == 1
 
 
+def _is_single_notatable(ql: Fraction) -> bool:
+    """Expressible as ONE notated duration: 2^k * (2 - 2^-dots), dots 0..4
+    (music21's type+dots model; 15/4 = triple-dotted half occurs in the
+    reference's own artifacts as a single token)."""
+    for d in range(5):
+        base = ql / (2 - Fraction(1, 1 << d)) if d else ql
+        if base.numerator == 1 and (base.denominator & (base.denominator - 1)) == 0:
+            return True
+        if base.denominator == 1 and (base.numerator & (base.numerator - 1)) == 0:
+            return True
+    return False
+
+
+def _notation_components(ql: Fraction) -> List[Fraction]:
+    """music21's rendering of a complex duration: descending pure-power-of-2
+    components (NO dot merging: the reference's artifacts show 25/8 QL as
+    2 + 1 + 1/8, not dotted-half + 1/8).  Identity for notatable durations."""
+    if _is_single_notatable(ql):
+        return [ql]
+    out: List[Fraction] = []
+    rem = ql
+    while rem > 0:
+        p = Fraction(1)
+        while p * 2 <= rem:
+            p *= 2
+        while p > rem:
+            p /= 2
+        out.append(p)
+        rem -= p
+    return out
+
+
 def _odd_part(n: int) -> int:
     while n % 2 == 0:
         n //= 2
@@ -211,12 +243,29 @@ class MusicExtractor:
         class mirrors music21's `Tuplet.fullName` name classes the reference
         groups by (reference music_extractor.py:183-194: a run continues while
         the name matches, and n_tup = actual-notes of the first element).
-        MIDI sources have no tuplet notation, so cardinality is inferred
-        arithmetically from the duration there (first-party behavior; the
-        reference never parses MIDI directly)."""
+
+        One normalization, confirmed against the reference's shipped artifacts:
+        when the member quarterLength implies a SIMPLER odd subdivision than
+        actual-notes, music21 re-derives the ratio -- a dotted-32nd marked 9:8
+        (Fuer Elise bar 104: ql 1/6) is an undotted eighth 3:2, and the
+        reference's extraction shows three Triplet groups there, while an
+        undotted 9:8 (ql 2/9, Mozart Sonata 11) stays a 9-group and a 3:2
+        dotted-16th whose ql is on-grid (Stayin' Alive bar 65) stays a Triplet
+        member.  MIDI sources have no tuplet notation, so cardinality is
+        inferred arithmetically from the duration there (first-party behavior;
+        the reference never parses MIDI directly)."""
         tm = getattr(elm, 'tm', None)
         if tm is not None:
-            return tuplet_name(tm), tm[0]
+            a, n = tm
+            odd = _odd_part(Fraction(elm.dur).denominator)
+            if 1 < odd < a and a % odd == 0:
+                # the duration subdivides by a clean divisor of actual-notes:
+                # music21 re-derives the simpler ratio (dotted-32nd 9:8 ==
+                # undotted eighth 3:2).  Jittered members whose odd part does
+                # NOT divide actual-notes (e.g. a 23/160-QL 7:8 member) keep
+                # the notated ratio, as the reference's artifacts show.
+                a, n = odd, 2 ** (odd.bit_length() - 1)
+            return tuplet_name((a, n)), a
         if self._infer_tuplets:
             n = _tuplet_n(Fraction(elm.dur))
             if n > 1:
@@ -688,7 +737,36 @@ class MusicExtractor:
                     f'Invalid bar notes at bar {i_bar}: '
                     f'time_sig={time_sig}, total={get_notes_duration(notes)}, '
                     f'ranges={_filled_ranges(notes)}')
-        return lst_notes
+        return [self._split_complex_durations(notes) for notes in lst_notes]
+
+    @staticmethod
+    def _split_complex_durations(notes: List[ExtNote]) -> List[ExtNote]:
+        """Split plain notes/rests whose duration is not notatable as one
+        type+dots into music21's export components (descending powers of 2,
+        notes tied).  The reference's artifacts -- the parity ground truth --
+        carry this split: music21's MusicXML export partitions complex
+        durations (e.g. a quantization-merged 9/8-QL rest appears as
+        rest(1)+rest(1/8)); reproducing it at the extractor tail makes token
+        output, rendered MXL, and mxl2str agree with the reference."""
+        out: List[ExtNote] = []
+        for n in notes:
+            if isinstance(n, tuple):
+                out.append(n)
+                continue
+            comps = _notation_components(Fraction(n.dur))
+            if len(comps) == 1:
+                out.append(n)
+                continue
+            off = n.offset
+            for k, c in enumerate(comps):
+                piece = _note2clean_note(n, q_len=c)
+                piece.offset = off
+                if isinstance(piece, Note):
+                    piece.tie = ('start' if k == 0 else
+                                 'stop' if k == len(comps) - 1 else 'continue')
+                out.append(piece)
+                off += c
+        return out
 
     # ------------------------------------------------------------------ entry
     def __call__(self, song: Union[str, Score], exp: str = 'str_join',

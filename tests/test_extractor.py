@@ -111,8 +111,11 @@ def test_unquantized_notes_snapped():
     ], ts=(4, 4), tempo=120)
     me = MusicExtractor(mode='melody', warn_logger=True)
     out = me(_score([[m0]]), exp='str_join')
-    # slot [7/8, 1): note2 overlaps 0.1 vs note1's 0.025 -> majority wins the slot
-    assert out == 'TimeSig_4/4 Tempo_120 <bar> p_1/4 d_7/8 p_3/4 d_25/8 </s>'
+    # slot [7/8, 1): note2 overlaps 0.1 vs note1's 0.025 -> majority wins the slot.
+    # 25/8 QL is not notatable as one type+dots, so it renders as music21's
+    # descending power-of-2 components (tied), like the reference's artifacts.
+    assert out == ('TimeSig_4/4 Tempo_120 <bar> p_1/4 d_7/8 '
+                   'p_3/4 d_2 p_3/4 d_1 p_3/4 d_1/8 </s>')
     assert any(w['warn_name'] == WarnLog.NoteNotQuant for w in me.warn_logger.warnings)
 
 
