@@ -242,30 +242,14 @@ class MusicExtractor:
         MusicXML sources carry explicit <time-modification> notation; the run
         class mirrors music21's `Tuplet.fullName` name classes the reference
         groups by (reference music_extractor.py:183-194: a run continues while
-        the name matches, and n_tup = actual-notes of the first element).
-
-        One normalization, confirmed against the reference's shipped artifacts:
-        when the member quarterLength implies a SIMPLER odd subdivision than
-        actual-notes, music21 re-derives the ratio -- a dotted-32nd marked 9:8
-        (Fuer Elise bar 104: ql 1/6) is an undotted eighth 3:2, and the
-        reference's extraction shows three Triplet groups there, while an
-        undotted 9:8 (ql 2/9, Mozart Sonata 11) stays a 9-group and a 3:2
-        dotted-16th whose ql is on-grid (Stayin' Alive bar 65) stays a Triplet
-        member.  MIDI sources have no tuplet notation, so cardinality is
-        inferred arithmetically from the duration there (first-party behavior;
-        the reference never parses MIDI directly)."""
+        the name matches, and n_tup = actual-notes of the first element;
+        `_group_tuplets` then renormalizes n_tup for uniformly-clean runs).
+        MIDI sources have no tuplet notation, so cardinality is inferred
+        arithmetically from the duration there (first-party behavior; the
+        reference never parses MIDI directly)."""
         tm = getattr(elm, 'tm', None)
         if tm is not None:
-            a, n = tm
-            odd = _odd_part(Fraction(elm.dur).denominator)
-            if 1 < odd < a and a % odd == 0:
-                # the duration subdivides by a clean divisor of actual-notes:
-                # music21 re-derives the simpler ratio (dotted-32nd 9:8 ==
-                # undotted eighth 3:2).  Jittered members whose odd part does
-                # NOT divide actual-notes (e.g. a 23/160-QL 7:8 member) keep
-                # the notated ratio, as the reference's artifacts show.
-                a, n = odd, 2 ** (odd.bit_length() - 1)
-            return tuplet_name((a, n)), a
+            return tuplet_name(tm), tm[0]
         if self._infer_tuplets:
             n = _tuplet_n(Fraction(elm.dur))
             if n > 1:
@@ -316,7 +300,20 @@ class MusicExtractor:
     def _group_tuplets(self, elms_tup: List, n_tup: int, time_sig: TsTup,
                        number: int, keep_chord: bool) -> List[ExtNote]:
         """Group a run of tuplet elements into tuples of `n_tup`, with the reference's
-        repair heuristics (duration rounding, overlap fixing, chord expansion caps)."""
+        repair heuristics (duration rounding, overlap fixing, chord expansion caps).
+
+        When the run is UNIFORMLY composed of clean o-unit durations for a
+        proper odd divisor o of n_tup, the ratio renormalizes to o -- a run of
+        nine clean 1/6-QL members marked 9:8 splits into Triplet groups
+        (Fuer Elise bars 104-108 in the reference's artifacts), while a 9:8
+        run containing jittered members keeps n_tup=9 (Beat It) and an
+        undotted uniform 2/9-QL 9:8 run keeps 9 (odd part IS 9; Mozart
+        Sonata 11's 9-group)."""
+        odds = {self._clean_odd_unit(Fraction(e.dur)) for e in elms_tup}
+        if len(odds) == 1:
+            o = odds.pop()
+            if o is not None and o < n_tup and n_tup % o == 0:
+                n_tup = o
         lst: List[ExtNote] = []
         dur = Fraction(0)
         idx_next_strt, n_tup_curr = 0, 0
@@ -454,6 +451,12 @@ class MusicExtractor:
         return out
 
     # ------------------------------------------------------------------ skyline
+    @staticmethod
+    def _clean_odd_unit(d: Fraction) -> Optional[int]:
+        """The odd subdivision o if `d` is a clean single o-plet unit, else None."""
+        o = _odd_part(d.denominator)
+        return o if o > 1 and _tuplet_n(d) == o else None
+
     @staticmethod
     def sort_groups(groups: Dict, reverse: bool = False):
         for offset, ns in groups.items():
