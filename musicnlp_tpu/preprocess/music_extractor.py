@@ -754,6 +754,16 @@ class MusicExtractor:
         out: List[ExtNote] = []
         for n in notes:
             if isinstance(n, tuple):
+                # a tuplet whose even-split member duration is DYADIC renders
+                # as plain notes (music21 writes no time-modification for
+                # expressible durations, so the group structure is lost in the
+                # MXL): a (rest, note) pair of total 1/8 QL appears as two
+                # plain 1/16 notes in the reference's artifacts
+                dur_ea = Fraction(note2dur(n)) / len(n)
+                den = dur_ea.denominator
+                if den & (den - 1) == 0:
+                    out.extend(_note2clean_note(n))
+                    continue
                 out.append(n)
                 continue
             comps = _notation_components(Fraction(n.dur))
