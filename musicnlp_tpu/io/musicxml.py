@@ -254,15 +254,17 @@ def read_musicxml_bytes(data: bytes) -> Score:
                 clef = attrs.find('clef')
                 if clef is not None and _text(clef.find('sign')) == 'F':
                     m.is_bass_clef = True
-            # tempo from <direction><sound tempo> or metronome per-minute
-            for snd in me.iter('sound'):
-                tp = snd.get('tempo')
-                if tp and m.tempo is None:
-                    m.tempo = float(tp)
-            if m.tempo is None:
-                pm = me.find('.//metronome/per-minute')
-                if pm is not None:
-                    m.tempo = float(_text(pm))
+            # tempo from <direction><sound tempo> or metronome per-minute;
+            # multiple marks in one bar average (reference it_bars
+            # music_extractor.py:141-150 takes the per-bar mean of all
+            # MetronomeMarks)
+            tempi = [float(snd.get('tempo')) for snd in me.iter('sound')
+                     if snd.get('tempo')]
+            if not tempi:
+                tempi = [float(_text(pm)) for pm in me.iter('per-minute')
+                         if _text(pm) and _text(pm).replace('.', '', 1).isdigit()]
+            if tempi:
+                m.tempo = sum(tempi) / len(tempi)
 
             pos = Fraction(0)
             last_note_start = Fraction(0)

