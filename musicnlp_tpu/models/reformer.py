@@ -371,6 +371,11 @@ class Reformer:
         """One incremental decode step: O(window + cache-scan) per layer, no
         prefix re-forward.  Same duck-typed API as TransfoXL.decode_step,
         usable by ops.sampling.generate_scan / MusicGenerator."""
+        logits, _, state = self._decode_step_impl(params, token_ids, state)
+        return logits, state
+
+    def _decode_step_impl(self, params: Params, token_ids: jnp.ndarray,
+                          state: ReformerDecodeState):
         cfg = self.cfg
         dtype = cfg.compute_dtype
         B = token_ids.shape[0]
@@ -482,7 +487,32 @@ class Reformer:
         logits = jnp.dot(h, params['lm_head']['w'].astype(dtype),
                          preferred_element_type=jnp.float32)
         logits = logits + params['lm_head']['b'].astype(jnp.float32)
-        return logits, ReformerDecodeState(lk, lv, sk, sv, sb, t + 1)
+        return logits, h, ReformerDecodeState(lk, lv, sk, sv, sb, t + 1)
+
+    def decode_step_with_hidden(self, params: Params, token_ids: jnp.ndarray,
+                                state: ReformerDecodeState):
+        """(logits, pre-head hidden, state) -- the contrastive-search surface
+        (same duck-typed API as TransfoXL.decode_step_with_hidden).  The
+        hidden is the final-norm output feeding lm_head: [B, 2*d_model] under
+        hf_compat (two-stream concat), else [B, d_model]."""
+        return self._decode_step_impl(params, token_ids, state)
+
+    @property
+    def hidden_dim(self) -> int:
+        """Width of decode_step_with_hidden's hidden output."""
+        return (2 if self.cfg.hf_compat else 1) * self.cfg.d_model
+
+    @staticmethod
+    def expand_decode_state(state: ReformerDecodeState, k: int) -> ReformerDecodeState:
+        """Repeat the batch axis (axis 1 of every cache leaf) k times -- for
+        contrastive candidate expansion."""
+        rep = lambda x: jnp.repeat(x, k, axis=1)
+        return ReformerDecodeState(rep(state.local_k), rep(state.local_v),
+                                   rep(state.lsh_k), rep(state.lsh_v),
+                                   rep(state.lsh_buckets), state.step)
+
+    def select_decode_state(self, state: ReformerDecodeState, idx):
+        return self.reorder_decode_state(state, idx)
 
     # ------------------------------------------------------ exact decode oracle
     def init_decode_state_exact(self, batch_size: int) -> ReformerExactDecodeState:

@@ -321,6 +321,10 @@ class TransfoXL:
             rng=None, deterministic: bool = True, n_seg: int = 1,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """CLM loss + aux metrics.  n_seg > 1 trains via segment-scan memory."""
+        assert not (self.cfg.head_chunk and self.cfg.adaptive_cutoffs), \
+            'head_chunk trains over the dense tied head while forward/decode ' \
+            'would score through the adaptive clusters -- training and ' \
+            'scoring would disagree for an imported adaptive checkpoint'
         if n_seg <= 1:
             if self.cfg.head_chunk:
                 h, _, _ = self.forward_hidden(params, input_ids, rng=rng,

@@ -33,7 +33,10 @@ def init_distributed(coordinator_address: Optional[str] = None,
     support bring-your-own coordinators.  No-op when already initialized or
     when nothing indicates a multi-process launch.  Returns process_count."""
     try:
-        already = jax.process_count() > 1
+        # probe WITHOUT jax.process_count(): that call initializes the XLA
+        # backend, after which jax.distributed.initialize refuses to run
+        from jax._src import distributed as _dist
+        already = _dist.global_state.client is not None
     except Exception:
         already = False
     if not already and (coordinator_address or num_processes

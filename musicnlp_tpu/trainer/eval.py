@@ -295,7 +295,7 @@ class MusicGenerator:
                         prompt_ids, plen, max_length=max_length,
                         eos_id=tok.eos_token_id, pad_id=tok.pad_token_id,
                         top_k=k, penalty_alpha=alpha,
-                        d_model=model.cfg.d_model,
+                        d_model=getattr(model, 'hidden_dim', model.cfg.d_model),
                         expand_state=model.expand_decode_state,
                         select_state=model.select_decode_state,
                         hidden_dtype=model.cfg.compute_dtype)

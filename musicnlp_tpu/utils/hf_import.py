@@ -147,7 +147,7 @@ def to_hf_transfo_xl(cfg: TransfoXLConfig, params: Dict[str, Any]):
         dropatt=cfg.dropatt, pre_lnorm=cfg.pre_lnorm,
         same_length=cfg.attn_window is not None)
     model = TransfoXLLMHeadModel(hc)
-    g = lambda x: torch.from_numpy(np.asarray(x, np.float32))
+    g = lambda x: torch.from_numpy(np.array(x, np.float32))  # copy: torch warns on read-only views
     sd = model.state_dict()
     N, H, d = cfg.n_head, cfg.d_head, cfg.d_model
     new = {}
@@ -214,6 +214,13 @@ def from_hf_reformer(model_or_state, *, hf_config=None, **config_overrides):
             or hc.lsh_num_chunks_before != 1 or hc.lsh_num_chunks_after != 0:
         raise NotImplementedError('only the causal 1-look-back chunk layout')
     N, H, d = hc.num_attention_heads, hc.attention_head_size, hc.hidden_size
+    if tuple(hc.axial_pos_embds_dim) != (d // 4, 3 * d // 4):
+        # ReformerConfig.axial_dims fixes the (d/4, 3d/4) split; any other
+        # split would import axial1/axial2 with trailing dims that break (or
+        # silently mis-broadcast in) _pos_emb
+        raise NotImplementedError(
+            f'axial_pos_embds_dim {tuple(hc.axial_pos_embds_dim)} != '
+            f'({d // 4}, {3 * d // 4}): unsupported axial split')
 
     layers = []
     for i, kind in enumerate(hc.attn_layers):
@@ -291,7 +298,7 @@ def to_hf_reformer(cfg, params):
         hidden_dropout_prob=cfg.dropout, hidden_act='relu',
         layer_norm_eps=cfg.ln_eps)
     model = ReformerModelWithLMHead(hc)
-    g = lambda x: torch.from_numpy(np.asarray(x, np.float32))
+    g = lambda x: torch.from_numpy(np.array(x, np.float32))  # copy: torch warns on read-only views
     sd = model.state_dict()
     N, H, d = cfg.n_head, cfg.d_head, cfg.d_model
     new = {

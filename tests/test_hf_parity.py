@@ -22,11 +22,21 @@ from musicnlp_tpu.models.transformer_xl import TransfoXL
 from musicnlp_tpu.utils.hf_import import from_hf_transfo_xl, to_hf_transfo_xl
 
 # transformers 4.57's deprecated TransfoXL calls `.type_as(dtype=...)`
-# (invalid since torch 2.x); shim so the true reference path runs
-_orig_type_as = torch.Tensor.type_as
-def _type_as(self, other=None, dtype=None):
-    return self.to(dtype if dtype is not None else other.dtype)
-torch.Tensor.type_as = _type_as
+# (invalid since torch 2.x); shim so the true reference path runs -- scoped
+# to this module so other tests see pristine torch state
+import pytest as _pytest
+
+
+@_pytest.fixture(scope='module', autouse=True)
+def _type_as_shim():
+    orig = torch.Tensor.type_as
+
+    def _type_as(self, other=None, dtype=None):
+        return self.to(dtype if dtype is not None else other.dtype)
+
+    torch.Tensor.type_as = _type_as
+    yield
+    torch.Tensor.type_as = orig
 
 
 def _hf_model(vocab=120, cutoffs=(), mem_len=16, same_length=True, seed=0):
