@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from functools import partial
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, 'baseline_ref.json')
@@ -58,8 +59,9 @@ def measure_ours(size: str, seq: int, bsz: int, steps: int,
     # scan `steps` train steps inside ONE device program: the per-call RPC
     # overhead of the tunneled backend (~28 ms, measured) would otherwise
     # dominate; a real training loop dispatches asynchronously and never
-    # pays a per-step host sync
-    @jax.jit
+    # pays a per-step host sync.  Donation matters at the 262k-vocab tier
+    # (params+opt state alone are ~4 GB).
+    @partial(jax.jit, donate_argnums=(0, 1))
     def run_steps(params, opt_state, ids, labels, rng):
         def body(carry, r):
             params, opt_state = carry
@@ -460,7 +462,9 @@ def main():
         return
     if mode == 'decode':
         gen_len = int(os.environ.get('BENCH_SEQ', 1024))
-        bsz = int(os.environ.get('BENCH_BSZ', 64))
+        # 256-way is the benched default: decode is op-latency-bound and batch
+        # is the lever (64->28.5k, 128->56.0k, 256->62.0k, 512->64.2k tok/s)
+        bsz = int(os.environ.get('BENCH_BSZ', 256))
         key = f'decode-{size}-len{gen_len}'
         cache = {}
         if os.path.exists(BASELINE_CACHE):

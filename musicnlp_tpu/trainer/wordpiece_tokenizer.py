@@ -76,17 +76,25 @@ def _train_native(words, counts, n_base, n_merges):
     np.cumsum([len(w) for w in words], out=offs[1:])
     cnts = np.asarray(counts, np.int64)
     out_cap = 2 * n_base + n_merges + 1
-    out_syms = np.zeros(int(syms.size + out_cap * 4 + 4 * n_base), np.int32)
     out_offs = np.zeros(out_cap + 1, np.int64)
     out_cont = np.zeros(out_cap, np.int8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_longlong)
     i8p = ctypes.POINTER(ctypes.c_int8)
-    n_units = lib.wp_train(
-        syms.ctypes.data_as(i32p), offs.ctypes.data_as(i64p),
-        cnts.ctypes.data_as(i64p), len(words), n_base, n_merges,
-        out_syms.ctypes.data_as(i32p), out_syms.size,
-        out_offs.ctypes.data_as(i64p), out_cont.ctypes.data_as(i8p), out_cap)
+    # merged units carry their full symbol expansion, so total emitted symbols
+    # is corpus-dependent; retry with doubled capacity on overflow (-1)
+    sym_cap = int(syms.size + out_cap * 8 + 4 * n_base)
+    n_units = -1
+    for _ in range(6):
+        out_syms = np.zeros(sym_cap, np.int32)
+        n_units = lib.wp_train(
+            syms.ctypes.data_as(i32p), offs.ctypes.data_as(i64p),
+            cnts.ctypes.data_as(i64p), len(words), n_base, n_merges,
+            out_syms.ctypes.data_as(i32p), out_syms.size,
+            out_offs.ctypes.data_as(i64p), out_cont.ctypes.data_as(i8p), out_cap)
+        if n_units > 0:
+            break
+        sym_cap *= 2
     assert n_units > 0, 'native WordPiece training failed (capacity)'
     units = []
     for u in range(n_units):
@@ -178,6 +186,10 @@ class WordPieceMusicTokenizer(MusicTokenizer):
 
     @classmethod
     def from_file(cls, path: str, **kwargs) -> 'WordPieceMusicTokenizer':
+        if path.endswith('.gz'):  # production-tier artifacts ship compressed
+            import gzip
+            with gzip.open(path, 'rt') as f:
+                return cls(json.load(f), **kwargs)
         with open(path) as f:
             return cls(json.load(f), **kwargs)
 

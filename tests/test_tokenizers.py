@@ -1,4 +1,6 @@
 """Learned-tokenizer tests: pair-merge + WordPiece (native C++ and Python)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -268,3 +270,39 @@ def test_wordpiece_reference_scale_32k():
                       jnp.int32)
     loss, _ = jax.jit(lambda p, i: model.loss(p, i, i))(params, ids)
     assert np.isfinite(float(loss)) and float(loss) < 12
+
+
+def test_wordpiece_262k_artifact(tmp_path):
+    """The shipped 262,144-vocab production-tier artifact (the reference's
+    largest pinned tokenizer size, reference wordpiece_tokenizer.py:455-468;
+    trained by scripts/train_wp_262k.py with the native trainer in 392s)
+    loads through from_file AND the trainer's load_trained/rebuild_tokenizer
+    path, and encodes/decodes exactly."""
+    import json
+    import shutil
+
+    from musicnlp_tpu.trainer.train import rebuild_tokenizer
+    from musicnlp_tpu.trainer.wordpiece_tokenizer import WordPieceMusicTokenizer
+
+    art = os.path.join(os.path.dirname(__file__), '..', 'artifacts',
+                       'wordpiece_262144_degree.json.gz')
+    if not os.path.exists(art):
+        pytest.skip('262k artifact not present')
+    tok = WordPieceMusicTokenizer.from_file(art)
+    assert tok.vocab_size == 262144
+    text = ('TimeSig_4/4 Tempo_120 Key_CMajor <bar> <melody> p_1/4_1 d_1 '
+            'p_5/4_3 d_1/2 p_8/4_5 d_1/2 <bass> p_1/3_1 d_2 </s>')
+    ids = tok.encode(text)
+    assert tok.decode(ids) == text
+    assert max(ids) < 262144
+
+    # load_trained's tokenizer identity path (trainer/train.py rebuild_tokenizer)
+    out_dir = str(tmp_path / 'run')
+    os.makedirs(out_dir)
+    shutil.copy(art, os.path.join(out_dir, 'tokenizer.json.gz'))
+    meta = dict(tokenizer=dict(scheme='wordpiece',
+                               tokenizer_file='tokenizer.json.gz',
+                               model_max_length=1024))
+    tok2 = rebuild_tokenizer(meta, out_dir)
+    assert tok2.vocab_size == 262144
+    assert tok2.encode(text) == ids
