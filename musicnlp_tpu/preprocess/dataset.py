@@ -173,7 +173,18 @@ class AugmentedDataset:
         self.rng = np.random.default_rng(seed)
 
         pk = tokenizer.pitch_kind
-        self.to_midi_pitch = (pk == 'midi') if to_midi_pitch is None else to_midi_pitch
+        src_kind = getattr(dataset, 'pitch_kind', 'step')
+        # remap only when the materialized ids are step-kind and the tokenizer
+        # is midi-kind; a dataset already materialized in the tokenizer's kind
+        # must NOT be remapped again (midi ids gathered through the step->midi
+        # table are garbage -- durations land on pitch ids)
+        self.to_midi_pitch = (pk == 'midi' and src_kind == 'step') \
+            if to_midi_pitch is None else to_midi_pitch
+        if src_kind not in (pk, 'step'):
+            raise ValueError(
+                f'dataset pitch kind {src_kind!r} incompatible with '
+                f'{pk!r} tokenizer: materialize the dataset as step '
+                f'(remapped on the fly) or as the tokenizer kind')
 
         # dense tables compiled once (the whole augmentation chain becomes gathers)
         self._vocab_step = MusicVocabulary(pitch_kind='step')
@@ -181,18 +192,24 @@ class AugmentedDataset:
         self._s2m: Optional[np.ndarray] = None
         if insert_key and pitch_shift:
             assert pk == 'degree'
+            assert src_kind == 'step', \
+                'key-augmented (degree) datasets must be materialized step-kind'
             self._s2d = tsf.build_step2degree_table(self._vocab_step, tokenizer.vocab)
             self._key_tok_ids = np.array([
                 tokenizer.vocab.tok2id[f'Key_{key_ordinal2str[i]}'] for i in range(N_KEY)
             ], dtype=np.int32)
         elif self.to_midi_pitch:
+            assert src_kind == 'step', \
+                'to_midi_pitch remaps step-kind ids; dataset is ' + src_kind
             self._s2m = tsf.build_step2midi_table(self._vocab_step, tokenizer.vocab)
         self._mixer = None
         if channel_mixup:
             mix_mode = 'full' if channel_mixup is True else channel_mixup
             self._mixer = _IdChannelMixer(tokenizer.vocab, mode=mix_mode, rng=self.rng)
         self._pad_id = tokenizer.pad_token_id
-        self._omit_id_src = self._vocab_step.tok2id[self._vocab_step.omitted_segment]
+        # crop-insert id in the SOURCE id space (remap tables apply after)
+        src_vocab = self._vocab_step if src_kind == 'step' else tokenizer.vocab
+        self._omit_id_src = src_vocab.tok2id[src_vocab.omitted_segment]
 
     def __len__(self):
         return len(self.dset)

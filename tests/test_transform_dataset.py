@@ -146,6 +146,45 @@ def test_augmented_dataset_midi_eval():
     assert all(t in tok.vocab for t in toks)
 
 
+def test_augmented_dataset_midi_source_not_double_remapped():
+    """A dataset MATERIALIZED midi-kind fed to a midi tokenizer must yield the
+    same stream as a step-kind dataset remapped on the fly -- regression for
+    the double-remap bug where midi ids were gathered through the step->midi
+    table again (durations landed on pitch ids, silently corrupting any
+    training run whose dataset was materialized in the tokenizer's kind)."""
+    tok = MusicTokenizer(pitch_kind='midi', model_max_length=64)
+    sd_step = SongDataset.from_songs(
+        [dict(score=SAMPLE_STEP, keys=KEYS, title='t')])
+    midi_text = tsf.ToMidiPitch()(SAMPLE_STEP)
+    sd_midi = SongDataset.from_songs(
+        [dict(score=midi_text, keys=KEYS, title='t')],
+        vocab=MusicVocabulary(pitch_kind='midi'))
+    assert sd_midi.pitch_kind == 'midi'
+    a = AugmentedDataset(sd_step, tokenizer=tok, random_crop=False)[0]
+    b = AugmentedDataset(sd_midi, tokenizer=tok, random_crop=False)[0]
+    np.testing.assert_array_equal(a['input_ids'], b['input_ids'])
+    # and the stream is well-formed music: outside <tup> groups, a pitch is
+    # always followed by a duration (the corruption turned durations into
+    # pitches, so pitch-pitch outside tuplets is its signature)
+    from musicnlp_tpu.vocab import VocabType
+    toks = tok.decode(b['input_ids']).split()
+    in_tup = False
+    for t1, t2 in zip(toks, toks[1:]):
+        in_tup = (in_tup or t1 == '<tup>') and t1 != '</tup>'
+        if not in_tup and tok.vocab.type(t1) == VocabType.pitch:
+            assert tok.vocab.type(t2) == VocabType.duration, (t1, t2)
+
+
+def test_augmented_dataset_rejects_mismatched_kind():
+    tok = MusicTokenizer(pitch_kind='degree', model_max_length=64)
+    midi_text = tsf.ToMidiPitch()(SAMPLE_STEP)
+    sd_midi = SongDataset.from_songs(
+        [dict(score=midi_text, keys=KEYS, title='t')],
+        vocab=MusicVocabulary(pitch_kind='midi'))
+    with pytest.raises(ValueError, match='incompatible'):
+        AugmentedDataset(sd_midi, tokenizer=tok)
+
+
 def test_songdataset_save_load(tmp_path):
     sd = SongDataset.from_songs([dict(score=SAMPLE_STEP, keys=KEYS, title='t')])
     p = str(tmp_path / 'ds.npz')
