@@ -64,7 +64,13 @@ def main():
     ap.add_argument('--songs', type=int, default=48)
     ap.add_argument('--model-size', default='debug-large')
     ap.add_argument('--max-length', type=int, default=512)
+    ap.add_argument('--platform', default=None,
+                    help="e.g. 'cpu' to keep a smoke run off the TPU "
+                         "(env vars cannot switch platforms on this box)")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update('jax_platforms', args.platform)
 
     from musicnlp_tpu.preprocess.dataset import AugmentedDataset, SongDataset
     from musicnlp_tpu.preprocess.music_export import (
