@@ -47,23 +47,36 @@ class ReformerDecodeState(NamedTuple):
 
     Local layers keep a 2*chunk ring of projected K/V (their attention window
     is exactly own-chunk + one look-back chunk, so the ring is lossless).
-    LSH layers cache normalized keys, values, and the bucket assignment of
-    every emitted position under the layer's fixed rotations; a new query
-    attends causally over cached keys that share its bucket in any hash round,
-    plus the current position-chunk in full (HF's unprocessed-chunk rule).
-    Exact vs the training forward while t < chunk; a bounded softmax-estimator
-    approximation beyond (same as HF).  All leaves carry batch on AXIS 1.
+    LSH layers cache normalized keys and values; a new query attends causally
+    over same-bucket history plus the current position-chunk in full (HF's
+    unprocessed-chunk rule).  Two estimators share this state
+    (ReformerConfig.decode_mode):
 
-    Layout: every cache keeps its TIME axis minor ([.., H, L], not [.., L, H])
-    -- a d_head=64 minor dim lane-pads 64 -> 128 on TPU, doubling the HBM
-    footprint AND the per-step read traffic of the full-length K/V scans that
-    dominate decode latency (measured 4.66 -> 2.6 ms/step at base/2048/bsz32).
+      * 'bounded' (default): per-(head, round, bucket) POSITION RINGS hold
+        the `decode_window` most recent members of each bucket; a step
+        gathers only those candidates + the current chunk (S = R*W + chunk
+        keys) instead of scanning the full L-length cache -- the same
+        bounded-window idea as HF's `_get_relevant_hid_states_and_buckets`
+        (which keeps the 2*chunk sorted-neighborhood), but with per-bucket
+        recency rings instead of a per-step argsort.  O(S) HBM traffic per
+        step.  When window * n_buckets >= L the candidate set equals the
+        full match set and this estimator coincides with 'scan'.
+      * 'scan': mask-and-scan the full cache with the per-position bucket
+        ids (lsh_buckets).  O(L) traffic; the oracle the bounded mode is
+        tested against.
+
+    Exact vs the training forward while t < chunk in both modes.  All leaves
+    carry batch on AXIS 1; fields unused by the active mode are allocated
+    with singleton trailing dims.  Every cache keeps its TIME axis minor
+    ([.., H, L]) so no lane dim is narrower than 128.
     """
     local_k: jnp.ndarray      # [n_local, B, N, H, 2c]
     local_v: jnp.ndarray      # [n_local, B, N, H, 2c]
     lsh_k: jnp.ndarray        # [n_lsh, B, N, H, L] normalized keys
     lsh_v: jnp.ndarray        # [n_lsh, B, N, H, L]
-    lsh_buckets: jnp.ndarray  # [n_lsh, B, N, R, L] int32, -1 = unwritten
+    lsh_buckets: jnp.ndarray  # [n_lsh, B, N, R, L] int32, -1 = unwritten ('scan')
+    lsh_ring: jnp.ndarray     # [n_lsh, B, N, R, NB*W] int32 positions ('bounded')
+    lsh_cnt: jnp.ndarray      # [n_lsh, B, N, R, NB] int32 per-bucket writes
     step: jnp.ndarray         # int32 scalar: next write position
 
 
@@ -106,6 +119,11 @@ class ReformerConfig:
     init_std: float = 0.02
     dtype: str = 'bfloat16'
     ln_eps: float = 1e-5      # HF Reformer uses 1e-12; set on import
+    # incremental-decode estimator (ReformerDecodeState docstring):
+    # 'bounded' gathers the decode_window most recent same-bucket positions
+    # per hash round + the current chunk; 'scan' masks the full cache.
+    decode_mode: str = 'bounded'
+    decode_window: int = 32
     # HF `ReformerModelWithLMHead` weight-compatible mode, for importing
     # reference-trained checkpoints (utils/hf_import.py): reversible
     # two-stream residuals (Y1 = X1 + attn(LN X2); Y2 = X2 + ff(LN Y1)),
@@ -346,15 +364,27 @@ class Reformer:
 
     def init_decode_state(self, batch_size: int) -> ReformerDecodeState:
         cfg = self.cfg
+        assert cfg.decode_mode in ('bounded', 'scan'), cfg.decode_mode
         n_local, n_lsh = self._n_kind()
         B, N, H, L = batch_size, cfg.n_head, cfg.d_head, cfg.max_length
+        R = cfg.n_hashes
         dt = cfg.compute_dtype
+        if cfg.decode_mode == 'bounded':
+            nb = cfg.n_buckets or _auto_buckets(L, cfg.lsh_chunk)
+            buckets = jnp.zeros((n_lsh, B, 1, 1, 1), jnp.int32)   # unused
+            ring = jnp.full((n_lsh, B, N, R, nb * cfg.decode_window), -1,
+                            jnp.int32)
+            cnt = jnp.zeros((n_lsh, B, N, R, nb), jnp.int32)
+        else:
+            buckets = jnp.full((n_lsh, B, N, R, L), -1, jnp.int32)
+            ring = jnp.zeros((n_lsh, B, 1, 1, 1), jnp.int32)      # unused
+            cnt = jnp.zeros((n_lsh, B, 1, 1, 1), jnp.int32)
         return ReformerDecodeState(
             local_k=jnp.zeros((n_local, B, N, H, 2 * cfg.local_chunk), dt),
             local_v=jnp.zeros((n_local, B, N, H, 2 * cfg.local_chunk), dt),
             lsh_k=jnp.zeros((n_lsh, B, N, H, L), dt),
             lsh_v=jnp.zeros((n_lsh, B, N, H, L), dt),
-            lsh_buckets=jnp.full((n_lsh, B, N, cfg.n_hashes, L), -1, jnp.int32),
+            lsh_buckets=buckets, lsh_ring=ring, lsh_cnt=cnt,
             step=jnp.zeros((), jnp.int32))
 
     def reorder_decode_state(self, state: ReformerDecodeState, idx):
@@ -362,7 +392,8 @@ class Reformer:
         return ReformerDecodeState(
             state.local_k[:, idx], state.local_v[:, idx],
             state.lsh_k[:, idx], state.lsh_v[:, idx],
-            state.lsh_buckets[:, idx], state.step)
+            state.lsh_buckets[:, idx], state.lsh_ring[:, idx],
+            state.lsh_cnt[:, idx], state.step)
 
     def _pos_emb_row(self, params: Params, t, dtype) -> jnp.ndarray:
         cfg = self.cfg
@@ -396,6 +427,7 @@ class Reformer:
 
         lk, lv = state.local_k, state.local_v
         sk, sv, sb = state.lsh_k, state.lsh_v, state.lsh_buckets
+        ring, cnt = state.lsh_ring, state.lsh_cnt
         il = ish = 0
         for li, layer in enumerate(params['layers']):
             p = layer['attn']
@@ -448,34 +480,44 @@ class Reformer:
                 proj = jnp.einsum('bnh,rhm->rbnm', qf, rots)
                 b_t = jnp.argmax(jnp.concatenate([proj, -proj], axis=-1),
                                  axis=-1).astype(jnp.int32)   # [R, B, N]
-                # one [B, N, R] write per step (not R scatters); cache layout
-                # keeps L minor (an R-minor layout would lane-pad 2 -> 128)
-                sb = jax.lax.dynamic_update_slice(
-                    sb, b_t.transpose(1, 2, 0)[None, :, :, :, None],
-                    (ish, 0, 0, 0, t))                        # [n, B, N, R, L]
-                pos = jnp.arange(L)
-                causal = pos <= t
-                cur_chunk = pos >= (t // cfg.lsh_chunk) * cfg.lsh_chunk
-                self_m = pos == t
-                score_all = jnp.einsum(
-                    'bnh,bnhl->bnl', q, sk[ish],
-                    preferred_element_type=jnp.float32)   # keys carry scale
-                score_all = jnp.where(self_m[None, None], score_all + SELF_BIAS,
-                                      score_all)
-                # all hash rounds at once; V cache read ONCE: with per-round
-                # weights w_r = softmax_r(lse_r), the combined context
-                # sum_r w_r * (softmax(sc_r) @ V) == (sum_r w_r softmax(sc_r)) @ V
-                match = sb[ish] == b_t.transpose(1, 2, 0)[..., None]   # [B,N,R,L]
-                mask = causal[None, None, None] & \
-                    (match | cur_chunk[None, None, None])
-                sc = jnp.where(mask, score_all[:, :, None], NEG_INF)   # [B,N,R,L]
-                lse = jax.nn.logsumexp(sc, axis=-1)                    # [B,N,R]
-                pr = jnp.exp(sc - lse[..., None])
-                if cfg.n_hashes > 1:
-                    pr = pr * jax.nn.softmax(lse, axis=-1)[..., None]
-                ctx = jnp.einsum('bnl,bnhl->bnh', pr.sum(axis=2).astype(dtype),
-                                 sv[ish],
-                                 preferred_element_type=jnp.float32).astype(dtype)
+                R, c = cfg.n_hashes, cfg.lsh_chunk
+                chunk_start = (t // c) * c
+                if cfg.decode_mode == 'bounded':
+                    ctx, ring, cnt = self._lsh_attend_bounded(
+                        q, sk, sv, ring, cnt, b_t, t, chunk_start, ish, nb,
+                        NEG_INF, SELF_BIAS)
+                else:
+                    # one [B, N, R] write per step (not R scatters); cache
+                    # layout keeps L minor (R-minor would lane-pad 2 -> 128)
+                    sb = jax.lax.dynamic_update_slice(
+                        sb, b_t.transpose(1, 2, 0)[None, :, :, :, None],
+                        (ish, 0, 0, 0, t))                    # [n, B, N, R, L]
+                    pos = jnp.arange(L)
+                    causal = pos <= t
+                    cur_chunk = pos >= chunk_start
+                    self_m = pos == t
+                    score_all = jnp.einsum(
+                        'bnh,bnhl->bnl', q, sk[ish],
+                        preferred_element_type=jnp.float32)  # keys carry scale
+                    score_all = jnp.where(self_m[None, None],
+                                          score_all + SELF_BIAS, score_all)
+                    # all hash rounds at once; V cache read ONCE: with
+                    # per-round weights w_r = softmax_r(lse_r), the combined
+                    # context sum_r w_r * (softmax(sc_r) @ V)
+                    # == (sum_r w_r softmax(sc_r)) @ V
+                    match = sb[ish] == b_t.transpose(1, 2, 0)[..., None]
+                    mask = causal[None, None, None] & \
+                        (match | cur_chunk[None, None, None])
+                    sc = jnp.where(mask, score_all[:, :, None], NEG_INF)
+                    lse = jax.nn.logsumexp(sc, axis=-1)      # [B, N, R]
+                    pr = jnp.exp(sc - lse[..., None])
+                    if R > 1:
+                        pr = pr * jax.nn.softmax(lse, axis=-1)[..., None]
+                    ctx = jnp.einsum('bnl,bnhl->bnh',
+                                     pr.sum(axis=2).astype(dtype), sv[ish],
+                                     preferred_element_type=jnp.float32
+                                     ).astype(dtype)
+                ctx = ctx.astype(dtype)
                 ish += 1
             a = jnp.einsum('bnh,nhd->bd', ctx, p['o'].astype(dtype),
                            preferred_element_type=jnp.float32).astype(dtype)
@@ -496,7 +538,72 @@ class Reformer:
         logits = jnp.dot(h, params['lm_head']['w'].astype(dtype),
                          preferred_element_type=jnp.float32)
         logits = logits + params['lm_head']['b'].astype(jnp.float32)
-        return logits, h, ReformerDecodeState(lk, lv, sk, sv, sb, t + 1)
+        return logits, h, ReformerDecodeState(lk, lv, sk, sv, sb, ring, cnt,
+                                              t + 1)
+
+    def _lsh_attend_bounded(self, q, sk, sv, ring, cnt, b_t, t, chunk_start,
+                            ish, nb, NEG_INF, SELF_BIAS):
+        """Bounded-candidate LSH decode attend (decode_mode='bounded').
+
+        Gathers, per hash round, the `decode_window` most recent same-bucket
+        positions from the per-bucket recency rings, plus the current chunk;
+        attends over those S = R*W + chunk keys only, then appends position t
+        to its bucket's ring.  O(S) HBM traffic vs the full-cache scan's
+        O(L).  See ReformerDecodeState for the estimator contract."""
+        cfg = self.cfg
+        R, W, c = cfg.n_hashes, cfg.decode_window, cfg.lsh_chunk
+        B, N = q.shape[0], cfg.n_head
+        bt = b_t.transpose(1, 2, 0)                           # [B, N, R]
+        ring_l, cnt_l = ring[ish], cnt[ish]                   # [B,N,R,nb*W], [B,N,R,nb]
+
+        # candidates: ring slots of this query's bucket, every round
+        slot_idx = bt[..., None] * W + jnp.arange(W)          # [B, N, R, W]
+        cand = jnp.take_along_axis(ring_l, slot_idx, axis=-1)  # [B, N, R, W]
+        cand_ok = (cand >= 0) & (cand < chunk_start)          # chunk covers rest
+        ccpos = chunk_start + jnp.arange(c)                   # [c]
+        chunk_ok = ccpos <= t
+        posS = jnp.concatenate(
+            [cand.reshape(B, N, R * W),
+             jnp.broadcast_to(ccpos, (B, N, c))], axis=-1)    # [B, N, S]
+        S = R * W + c
+        k_sel = jnp.take_along_axis(
+            sk[ish], jnp.clip(posS, 0)[:, :, None, :], axis=-1)  # [B,N,H,S]
+        v_sel = jnp.take_along_axis(
+            sv[ish], jnp.clip(posS, 0)[:, :, None, :], axis=-1)
+        s = jnp.einsum('bnh,bnhs->bns', q, k_sel,
+                       preferred_element_type=jnp.float32)    # keys carry scale
+        s = jnp.where(posS == t, s + SELF_BIAS, s)
+        blk = jnp.arange(S) // W                              # [S]: cand block r, chunk = >= R
+        lses, prs = [], []
+        for r in range(R):
+            m = jnp.concatenate(
+                [cand_ok[:, :, r] if rr == r
+                 else jnp.zeros((B, N, W), bool) for rr in range(R)]
+                + [jnp.broadcast_to(chunk_ok, (B, N, c))], axis=-1)
+            sc = jnp.where(m, s, NEG_INF)
+            lse = jax.nn.logsumexp(sc, axis=-1)               # [B, N]
+            lses.append(lse)
+            prs.append(jnp.exp(sc - lse[..., None]))
+        if R == 1:
+            pr = prs[0]
+        else:
+            w = jax.nn.softmax(jnp.stack(lses, axis=-1), axis=-1)  # [B,N,R]
+            pr = sum(w[..., r:r + 1] * prs[r] for r in range(R))
+        ctx = jnp.einsum('bns,bnhs->bnh', pr.astype(sv.dtype), v_sel,
+                         preferred_element_type=jnp.float32)
+
+        # append t to its bucket ring (one-hot select, no scatter)
+        cnt_b = jnp.take_along_axis(cnt_l, bt[..., None], axis=-1)[..., 0]
+        j = bt * W + cnt_b % W                                # [B, N, R]
+        ring_new = jnp.where(
+            jnp.arange(nb * W) == j[..., None], t, ring_l)
+        cnt_new = jnp.where(jnp.arange(nb) == bt[..., None],
+                            cnt_b[..., None] + 1, cnt_l)
+        ring = jax.lax.dynamic_update_slice(
+            ring, ring_new[None], (ish, 0, 0, 0, 0))
+        cnt = jax.lax.dynamic_update_slice(
+            cnt, cnt_new[None], (ish, 0, 0, 0, 0))
+        return ctx, ring, cnt
 
     def decode_step_with_hidden(self, params: Params, token_ids: jnp.ndarray,
                                 state: ReformerDecodeState):
@@ -518,7 +625,8 @@ class Reformer:
         rep = lambda x: jnp.repeat(x, k, axis=1)
         return ReformerDecodeState(rep(state.local_k), rep(state.local_v),
                                    rep(state.lsh_k), rep(state.lsh_v),
-                                   rep(state.lsh_buckets), state.step)
+                                   rep(state.lsh_buckets), rep(state.lsh_ring),
+                                   rep(state.lsh_cnt), state.step)
 
     def select_decode_state(self, state: ReformerDecodeState, idx):
         return self.reorder_decode_state(state, idx)

@@ -379,3 +379,68 @@ def test_reformer_incremental_decode_long_prefix_quality():
     assert mean_kl < 0.01, f'mean KL(exact || incremental) {mean_kl:.4f}'
     assert tail_kl < 0.01, f'tail mean KL {tail_kl:.4f}'
     assert mean_dev < 0.05, f'mean |delta log-prob| {mean_dev:.4f}'
+
+
+def test_reformer_bounded_decode_matches_scan_when_window_covers():
+    """decode_mode='bounded' must coincide with the full-cache 'scan'
+    estimator whenever decode_window >= the largest bucket occupancy --
+    guaranteed here by window = max_length (the rings then hold every
+    same-bucket position the scan mask would match)."""
+    kw = dict(vocab_size=96, dtype='float32', local_chunk=16, lsh_chunk=16,
+              max_length=96, axial_pos_shape=(6, 16), dropout=0.0)
+    cb = ReformerConfig.from_size('debug', decode_mode='bounded',
+                                  decode_window=96, **kw)
+    cs = ReformerConfig.from_size('debug', decode_mode='scan', **kw)
+    assert 'lsh' in cb.attn_layers and cb.n_hashes == cs.n_hashes
+    mb, ms = Reformer(cb), Reformer(cs)
+    params = mb.init(jax.random.PRNGKey(2))
+    B, T = 3, 96
+    ids = jax.random.randint(jax.random.PRNGKey(7), (B, T), 2, 96)
+    sb_, ss = mb.init_decode_state(B), ms.init_decode_state(B)
+    stepb = jax.jit(mb.decode_step)
+    steps = jax.jit(ms.decode_step)
+    for t in range(T):
+        lb, sb_ = stepb(params, ids[:, t], sb_)
+        ls, ss = steps(params, ids[:, t], ss)
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(ls),
+                                   rtol=2e-4, atol=2e-4, err_msg=f't={t}')
+
+
+def test_reformer_bounded_decode_truncated_quality():
+    """With a SMALL window (real truncation), the bounded estimator must
+    still track the exact oracle: bounded mean KL over a 128-step decode
+    within 2x of the full-scan estimator's, and exact within the first
+    chunk."""
+    kw = dict(vocab_size=128, dtype='float32', local_chunk=16, lsh_chunk=16,
+              max_length=128, dropout=0.0)
+    cb = ReformerConfig.from_size('debug', decode_mode='bounded',
+                                  decode_window=4, **kw)
+    cs = ReformerConfig.from_size('debug', decode_mode='scan', **kw)
+    model_b, model_s = Reformer(cb), Reformer(cs)
+    params = model_b.init(jax.random.PRNGKey(5))
+    B, T = 4, 128
+    ids = jax.random.randint(jax.random.PRNGKey(55), (B, T), 2, 128)
+    st_b = model_b.init_decode_state(B)
+    st_s = model_s.init_decode_state(B)
+    st_e = model_b.init_decode_state_exact(B)
+    step_b = jax.jit(model_b.decode_step)
+    step_s = jax.jit(model_s.decode_step)
+    step_e = jax.jit(model_b.decode_step_exact)
+    kls_b, kls_s = [], []
+    for t in range(T):
+        lb, st_b = step_b(params, ids[:, t], st_b)
+        ls, st_s = step_s(params, ids[:, t], st_s)
+        le, st_e = step_e(params, ids[:, t], st_e)
+        lpb = jax.nn.log_softmax(lb.astype(jnp.float32), axis=-1)
+        lps = jax.nn.log_softmax(ls.astype(jnp.float32), axis=-1)
+        lpe = jax.nn.log_softmax(le.astype(jnp.float32), axis=-1)
+        pe = jnp.exp(lpe)
+        kls_b.append(float(jnp.mean(jnp.sum(pe * (lpe - lpb), axis=-1))))
+        kls_s.append(float(jnp.mean(jnp.sum(pe * (lpe - lps), axis=-1))))
+        if t < 16:
+            np.testing.assert_allclose(np.asarray(lb), np.asarray(le),
+                                       rtol=1e-4, atol=1e-4, err_msg=f't={t}')
+    mean_b = sum(kls_b) / len(kls_b)
+    mean_s = sum(kls_s) / len(kls_s)
+    assert mean_b < 0.02, f'bounded mean KL {mean_b:.4f}'
+    assert mean_b < 2.0 * max(mean_s, 1e-3), (mean_b, mean_s)
