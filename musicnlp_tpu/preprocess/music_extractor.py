@@ -740,6 +740,7 @@ class MusicExtractor:
                               precision=self.prec,
                               unfilled_ranges=[(float(a), float(b)) for a, b in unfilled])
         lst_notes = [self.clean_quantized_tuplets(notes, i) for i, notes in enumerate(lst_notes)]
+        lst_notes = [self._resplit_uniform_tuplets(notes) for notes in lst_notes]
         for i_bar, (notes, time_sig) in enumerate(zip(lst_notes, time_sigs)):
             n_slots_f = time_sig2bar_dur(time_sig) / Fraction(4, 2 ** self.prec)
             check_dur = n_slots_f.denominator == 1  # fractional-slot bars can't match exactly
@@ -749,6 +750,61 @@ class MusicExtractor:
                     f'time_sig={time_sig}, total={get_notes_duration(notes)}, '
                     f'ranges={_filled_ranges(notes)}')
         return [self._split_complex_durations(notes) for notes in lst_notes]
+
+    @staticmethod
+    def _resplit_uniform_tuplets(notes: List[ExtNote]) -> List[ExtNote]:
+        """Re-chunk tuplet groups by the cardinality their CLEANED member
+        duration implies -- the reference's artifact grammar.
+
+        The reference writes its extraction to MXL and music21 re-notates each
+        member from its final duration (a 1/12-QL member becomes a 16th with
+        3:2 time-modification regardless of the source's 7:8 bracket); the
+        reference's own re-reader then chunks consecutive same-class tuplet
+        members STRICTLY into n_tup-sized groups (reference
+        music_converter.py:85-107 `_bar2grouped_bar`: `group_n(lst_tup,
+        n_tup)` with an assert `len % n_tup == 0`).  So a 6-member jittered
+        7:8 run whose evened members are 1/3 QL appears in the shipped
+        artifacts -- the parity ground truth -- as TWO Triplet groups
+        (Moonlight m.8, Beat It m.21), never one sextuplet.  Emitting that
+        form directly keeps extractor output, rendered MXL, and mxl2str in
+        agreement.  Adjacent groups whose members share the same duration are
+        one run on a re-read, so they merge before chunking.  Groups whose
+        run length is not a multiple of the implied cardinality keep their
+        shape (the reference's assert implies its artifacts never carry
+        these)."""
+        def _implied_n(run: List) -> Optional[int]:
+            durs = {Fraction(m.dur) for g in run for m in g}
+            if len(durs) != 1:
+                return None
+            o = _tuplet_n(durs.pop())
+            n_members = sum(len(g) for g in run)
+            if o <= 1 or n_members % o != 0 or all(len(g) == o for g in run):
+                return None
+            return o
+
+        out: List[ExtNote] = []
+        run: List[tuple] = []
+
+        def _flush():
+            if not run:
+                return
+            o = _implied_n(run)
+            if o is None:
+                out.extend(run)
+            else:
+                members = [m for g in run for m in g]
+                out.extend(tuple(members[i:i + o])
+                           for i in range(0, len(members), o))
+            run.clear()
+
+        for n in notes:
+            if isinstance(n, tuple):
+                run.append(n)
+            else:
+                _flush()
+                out.append(n)
+        _flush()
+        return out
 
     @staticmethod
     def _split_complex_durations(notes: List[ExtNote]) -> List[ExtNote]:
