@@ -126,13 +126,21 @@ def _is_single_notatable(ql: Fraction) -> bool:
 
 def _notation_components(ql: Fraction) -> List[Fraction]:
     """music21's rendering of a complex duration: descending pure-power-of-2
-    components (NO dot merging: the reference's artifacts show 25/8 QL as
-    2 + 1 + 1/8, not dotted-half + 1/8).  Identity for notatable durations."""
+    components, STOPPING as soon as the remainder is a single notatable
+    (possibly dotted) duration.  Calibrated against the reference's shipped
+    artifacts: 25/8 QL ships as 2 + 1 + 1/8 (the 9/8 remainder is not a
+    single duration, so the pure-power walk continues -- NOT dotted-half +
+    1/8), while 11/4 QL ships as 2 + 3/4 (the 3/4 remainder IS a dotted
+    eighth, so it stays whole -- NOT 2 + 1/2 + 1/4; Merry Go Round bar 21).
+    Identity for notatable durations."""
     if _is_single_notatable(ql):
         return [ql]
     out: List[Fraction] = []
     rem = ql
     while rem > 0:
+        if _is_single_notatable(rem):
+            out.append(rem)
+            break
         p = Fraction(1)
         while p * 2 <= rem:
             p *= 2
