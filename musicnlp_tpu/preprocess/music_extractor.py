@@ -775,39 +775,48 @@ class MusicExtractor:
         artifacts -- the parity ground truth -- as TWO Triplet groups
         (Moonlight m.8, Beat It m.21), never one sextuplet.  Emitting that
         form directly keeps extractor output, rendered MXL, and mxl2str in
-        agreement.  Adjacent groups whose members share the same duration are
-        one run on a re-read, so they merge before chunking.  Groups whose
-        run length is not a multiple of the implied cardinality keep their
-        shape (the reference's assert implies its artifacts never carry
-        these)."""
-        def _implied_n(run: List) -> Optional[int]:
-            durs = {Fraction(m.dur) for g in run for m in g}
-            if len(durs) != 1:
+        agreement.  Adjacent groups of the same tuplet CLASS are one run on a
+        re-read even at different unit sizes (a 1/6-member group and a
+        1/3-member group are both "Triplet" in music21's fullName, so a
+        [6 x 1/6][3 x 1/3] pair re-chunks into three Triplets -- Merry
+        Christmas Mr. Lawrence), so runs merge by implied cardinality before
+        chunking.  Runs whose length is not a multiple of the cardinality
+        keep their shape (the reference's assert implies its artifacts never
+        carry these)."""
+        def _group_class(g: tuple) -> Optional[int]:
+            """The tuplet cardinality o shared by ALL members, else None."""
+            os_ = {_tuplet_n(Fraction(m.dur)) for m in g}
+            if len(os_) != 1:
                 return None
-            o = _tuplet_n(durs.pop())
-            n_members = sum(len(g) for g in run)
-            if o <= 1 or n_members % o != 0 or all(len(g) == o for g in run):
-                return None
-            return o
+            o = os_.pop()
+            return o if o > 1 else None
 
         out: List[ExtNote] = []
         run: List[tuple] = []
+        run_o: Optional[int] = None
 
         def _flush():
+            nonlocal run_o
             if not run:
                 return
-            o = _implied_n(run)
-            if o is None:
+            o = run_o
+            n_members = sum(len(g) for g in run)
+            if n_members % o != 0 or all(len(g) == o for g in run):
                 out.extend(run)
             else:
                 members = [m for g in run for m in g]
                 out.extend(tuple(members[i:i + o])
                            for i in range(0, len(members), o))
             run.clear()
+            run_o = None
 
         for n in notes:
-            if isinstance(n, tuple):
+            o = _group_class(n) if isinstance(n, tuple) else None
+            if o is not None:
+                if run and o != run_o:
+                    _flush()
                 run.append(n)
+                run_o = o
             else:
                 _flush()
                 out.append(n)
