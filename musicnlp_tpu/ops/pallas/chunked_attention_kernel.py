@@ -18,20 +18,29 @@ position) so pad keys are invisible to real queries while pad queries keep
 their true position and still attend their window -- byte-compatible with
 the jnp path's explicit pad mask.
 
-Layout notes:
-  * query-side positions arrive pre-transposed as [G, c, n] (chunk index on
-    the minor axis); the whole tiny plane stays resident and the kernel
-    extracts chunk J's [c, 1] column by a mask+lane-reduce -- no
-    lane-crossing relayout, no unaligned lane slicing (Mosaic lowers
-    neither);
-  * key-side positions arrive chunk-major as [G, n, c] so per-chunk rows
-    are sublane slices;
-  * the look-back chunk is read through a SECOND BlockSpec of the same k/v
-    tensors with index map (g, i-1) -- no [*, 2c, D] concat copies anywhere.
+Execution shape (the round-3 restructure; the original form looped over the
+m chunks of a block with a [c, c] matmul + mask + exp chain PER CHUNK,
+serializing tiny MXU issues against the VPU): all m windows of a block are
+assembled once into [m, 2c, D] stacks from a [(m+1)c, D] extended-rows
+buffer, scores/probabilities/context run as SINGLE batched `dot_general`s
+([m, c, D] x [m, 2c, D] -> [m, c, 2c]) and one [m, c, 2c] VPU
+masking/softmax pass, and the whole [bq, P] block writes out at once.  The
+backward accumulates its overlapping [m, 2c, D] dk/dv windows into a
+[(m+1)c, D] VMEM scratch with STATIC row slices, then lands them on the
+resident full-[T, D] accumulators with ONE dynamic-offset RMW per program
+(the accumulators' index map ignores i, so no per-chunk partials ever hit
+HBM).  A full-banded [bq, (m+1)c] single-matmul variant was also measured:
+its ~5x band overcompute exactly cancels the bigger-matmul win (366 vs 354
+ms/step at base/2048/bsz16) -- the windowed-batched form here is the knee.
 
-The backward kernel recomputes each window's scores once; dk/dv accumulate
-into full-[T, D] output blocks resident in VMEM across each sequence's grid
-window (index map ignores i), so no scatter or per-chunk partials hit HBM.
+Layout notes:
+  * q/k-side positions both arrive chunk-major as [G, n, c] so per-chunk
+    rows are sublane slices; the [m, 2c] per-window key positions build
+    from rolls + masked selects (Mosaic cannot concatenate operands whose
+    layouts carry mismatched sublane/lane offsets);
+  * the look-back chunk is read through a SECOND BlockSpec of the same k/v
+    tensors with index map (g, i-1) -- no HBM-side concat copies; the
+    in-VMEM [(m+1)c, D] extended-rows concat is one 64-row sublane copy.
 """
 from __future__ import annotations
 
@@ -40,6 +49,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ['chunked_window_attn', 'chunked_attn_available']
 
@@ -65,148 +75,151 @@ def _pick_m(T: int, chunk: int) -> int:
     return m if T % (m * chunk) == 0 else 0
 
 
-def _col_j(x, j):
-    """Column j of a small [c, m] block as [c, 1], without lane slicing
-    (unaligned lane offsets don't lower in Mosaic): mask + lane reduce."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.sum(jnp.where(lane == j, x, 0), axis=1, keepdims=True)
+def _ext_rows(cur_ref, prev_ref, c, m):
+    """[(m+1)c, D] extended rows: the previous block's LAST chunk, then the
+    current block.  Sublane concat at a 64-row (tile-legal) offset."""
+    return jnp.concatenate([prev_ref[0, (m - 1) * c:], cur_ref[0]], axis=0)
 
 
-def _window(ref, prev_ref, j, c, m):
-    """(self_chunk, prev_chunk) rows for local chunk j of the block.
-    Row (sublane) slices only -- 64-row offsets are tile-legal."""
-    cur = ref[0, j * c:(j + 1) * c]
-    prev = (prev_ref[0, (m - 1) * c:m * c] if j == 0
-            else ref[0, (j - 1) * c:j * c])
-    return cur, prev
+def _windows(ext, c, m):
+    """[m, 2c, D] overlapping (prev, self) windows of [(m+1)c, D] rows."""
+    return jnp.stack([ext[j * c:(j + 2) * c] for j in range(m)])
 
 
-def _pos_rows(kpos_ref, kposp_ref, j, m):
-    """Self/prev chunk key positions as [1, c] rows from [1, m, c] blocks."""
-    cur = kpos_ref[0, j]
-    prev = kposp_ref[0, m - 1] if j == 0 else kpos_ref[0, j - 1]
-    return cur.reshape(1, -1), prev.reshape(1, -1)
+def _pos_windows(kpos_ref, kposp_ref, c, m):
+    """[m, 2c] key positions per window from the [1, m, c] chunk-major
+    blocks: column half [0, c) is the look-back chunk, [c, 2c) is self.
+    Built from rolls + masked selects -- Mosaic cannot concatenate operands
+    whose layouts carry mismatched sublane/lane offsets."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, c), 0)
+    kp_self = kpos_ref[0]                                     # [m, c]
+    kp_prev = pltpu.roll(kp_self, 1, 0)                       # row j <- j-1
+    prev_last = kposp_ref[0, m - 1].reshape(1, c)
+    kp_prev = jnp.where(rows == 0, jnp.broadcast_to(prev_last, (m, c)),
+                        kp_prev)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m, 2 * c), 1)
+    pad = ((0, 0), (0, c))
+    kp_prev_w = jnp.pad(kp_prev, pad)
+    kp_self_w = pltpu.roll(jnp.pad(kp_self, pad), c, 1)
+    return jnp.where(lane < c, kp_prev_w, kp_self_w)
 
 
-def _scores(qj, k_self, k_prev, qp, kp_self, kp_prev, prev_ok, scale,
-            self_bias, c):
-    """Masked scaled scores for one chunk: ([c,c] self, [c,c] prev) f32."""
-    s_self = jax.lax.dot_general(qj, k_self, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-    s_prev = jax.lax.dot_general(qj, k_prev, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-    m_self = kp_self <= qp                       # [c, c] via broadcast
-    m_prev = (kp_prev <= qp) & prev_ok
-    s_self = jnp.where(m_self, s_self, NEG_INF)
-    s_prev = jnp.where(m_prev, s_prev, NEG_INF)
+def _masked_scores(qc, kc, qp, kp, i, c, m, scale, self_bias):
+    """Batched masked scaled scores [m, c, 2c] f32 for all windows."""
+    s = jax.lax.dot_general(
+        qc, kc, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    qp3 = qp[:, :, None]
+    kp3 = kp[:, None, :]
+    valid = kp3 <= qp3
+    # the first chunk of the FIRST block has no look-back chunk; its prev
+    # columns come from the clamped (g, 0) index map and must be masked
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m, c, 2 * c), 2)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (m, c, 2 * c), 0)
+    valid &= (lane >= c) | (cidx > 0) | (i > 0)
+    s = jnp.where(valid, s, NEG_INF)
     if self_bias:
-        s_self = jnp.where(kp_self == qp, s_self + self_bias, s_self)
-    return s_self, s_prev
+        # kpos == qpos only at a query's own entry, which lives in the self
+        # half -- applying over the full window is equivalent and branchless
+        s = jnp.where(kp3 == qp3, s + self_bias, s)
+    return s
 
 
 def _make_fwd(c, m, scale, self_bias, D, out_dtype):
     def kernel(q_ref, k_ref, kp_ref, v_ref, vp_ref, kpos_ref, kposp_ref,
-               qpc_ref, o_ref):
+               qpos_ref, o_ref):
         i = pl.program_id(1)
         P = o_ref.shape[-1]
-        for j in range(m):
-            qj = q_ref[0, j * c:(j + 1) * c]
-            ks, kpv = _window(k_ref, kp_ref, j, c, m)
-            vs, vpv = _window(v_ref, vp_ref, j, c, m)
-            kp_s, kp_p = _pos_rows(kpos_ref, kposp_ref, j, m)
-            qp = _col_j(qpc_ref[0], i * m + j)
-            prev_ok = (i > 0) if j == 0 else True
-            s_self, s_prev = _scores(qj, ks, kpv, qp, kp_s, kp_p, prev_ok,
-                                     scale, self_bias, c)
-            mx = jnp.maximum(jnp.max(s_self, axis=1, keepdims=True),
-                             jnp.max(s_prev, axis=1, keepdims=True))
-            p_self = jnp.exp(s_self - mx)
-            p_prev = jnp.exp(s_prev - mx)
-            l = (jnp.sum(p_self, axis=1, keepdims=True)
-                 + jnp.sum(p_prev, axis=1, keepdims=True))
-            l = jnp.maximum(l, 1e-30)
-            ctx = (jax.lax.dot_general(
-                       p_self.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
-                       preferred_element_type=jnp.float32)
-                   + jax.lax.dot_general(
-                       p_prev.astype(vs.dtype), vpv, (((1,), (0,)), ((), ())),
-                       preferred_element_type=jnp.float32)) / l
-            lse = mx + jnp.log(l)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (c, P), 1)
-            packed = jnp.where(cols < D, jnp.pad(ctx, ((0, 0), (0, P - D))),
-                               jnp.where(cols == D,
-                                         jnp.broadcast_to(lse, (c, P)), 0.0))
-            o_ref[0, j * c:(j + 1) * c] = packed.astype(out_dtype)
+        bq = m * c
+        kc = _windows(_ext_rows(k_ref, kp_ref, c, m), c, m)
+        vc = _windows(_ext_rows(v_ref, vp_ref, c, m), c, m)
+        qc = q_ref[0].reshape(m, c, D)
+        qp = qpos_ref[0]
+        kp = _pos_windows(kpos_ref, kposp_ref, c, m)
+        s = _masked_scores(qc, kc, qp, kp, i, c, m, scale, self_bias)
+        mx = jnp.max(s, axis=2, keepdims=True)
+        p = jnp.exp(s - mx)
+        l = jnp.maximum(jnp.sum(p, axis=2, keepdims=True), 1e-30)
+        ctx = jax.lax.dot_general(
+            p.astype(vc.dtype), vc, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) / l
+        lse = (mx + jnp.log(l)).reshape(bq, 1)
+        ctx2 = ctx.reshape(bq, D)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, P), 1)
+        packed = jnp.where(cols < D, jnp.pad(ctx2, ((0, 0), (0, P - D))),
+                           jnp.where(cols == D,
+                                     jnp.broadcast_to(lse, (bq, P)), 0.0))
+        o_ref[0] = packed.astype(out_dtype)
     return kernel
 
 
 def _make_bwd(c, m, scale, self_bias, D, T, grad_dtype):
     def kernel(q_ref, k_ref, kp_ref, v_ref, vp_ref, kpos_ref, kposp_ref,
-               qpc_ref, dod_ref, dq_ref, dk_ref, dv_ref):
+               qpos_ref, dod_ref, dq_ref, dk_ref, dv_ref, acc_k, acc_v):
         i = pl.program_id(1)
+        bq = m * c
 
         @pl.when(i == 0)
         def _():
             dk_ref[0] = jnp.zeros_like(dk_ref[0])
             dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
+        kc = _windows(_ext_rows(k_ref, kp_ref, c, m), c, m)
+        vc = _windows(_ext_rows(v_ref, vp_ref, c, m), c, m)
+        qc = q_ref[0].reshape(m, c, D)
+        qp = qpos_ref[0]
+        kp = _pos_windows(kpos_ref, kposp_ref, c, m)
+        s = _masked_scores(qc, kc, qp, kp, i, c, m, scale, self_bias)
+
+        dod = dod_ref[0].reshape(m, c, -1).astype(jnp.float32)
+        lse = dod[:, :, D:D + 1]
+        delta = dod[:, :, D + 1:D + 2]
+        dlse = dod[:, :, D + 2:D + 3]   # lse is a REAL output (LSH rounds)
+        do = dod[:, :, :D].astype(grad_dtype)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, vc, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta + dlse) * scale).astype(grad_dtype)
+        dq = jax.lax.dot_general(
+            ds, kc, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dq_ref[0] = dq.reshape(bq, D).astype(dq_ref.dtype)
+        # window-side grads [m, 2c, D]; overlapping windows accumulate into
+        # the [(m+1)c, D] scratch with STATIC row slices, then ONE dynamic
+        # RMW lands them on the resident [T, D] accumulators
+        dkw = jax.lax.dot_general(
+            ds, qc, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dvw = jax.lax.dot_general(
+            p.astype(grad_dtype), do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        acc_k[:] = jnp.zeros_like(acc_k)
+        acc_v[:] = jnp.zeros_like(acc_v)
         for j in range(m):
-            qj = q_ref[0, j * c:(j + 1) * c]
-            ks, kpv = _window(k_ref, kp_ref, j, c, m)
-            vs, vpv = _window(v_ref, vp_ref, j, c, m)
-            kp_s, kp_p = _pos_rows(kpos_ref, kposp_ref, j, m)
-            qp = _col_j(qpc_ref[0], i * m + j)
-            prev_ok = (i > 0) if j == 0 else True
-            s_self, s_prev = _scores(qj, ks, kpv, qp, kp_s, kp_p, prev_ok,
-                                     scale, self_bias, c)
-            dod = dod_ref[0, j * c:(j + 1) * c].astype(jnp.float32)
-            lse = dod[:, D:D + 1]
-            delta = dod[:, D + 1:D + 2]
-            dlse = dod[:, D + 2:D + 3]     # lse is a REAL output (LSH rounds)
-            do = dod[:, :D].astype(grad_dtype)
-            p_self = jnp.exp(s_self - lse)
-            p_prev = jnp.exp(s_prev - lse)
-            dp_self = jax.lax.dot_general(do, vs, (((1,), (1,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
-            dp_prev = jax.lax.dot_general(do, vpv, (((1,), (1,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
-            ds_self = (p_self * (dp_self - delta + dlse)
-                       * scale).astype(grad_dtype)
-            ds_prev = (p_prev * (dp_prev - delta + dlse)
-                       * scale).astype(grad_dtype)
-            dq = (jax.lax.dot_general(ds_self, ks, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-                  + jax.lax.dot_general(ds_prev, kpv, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32))
-            dq_ref[0, j * c:(j + 1) * c] = dq.astype(dq_ref.dtype)
-            # k/v-side: self chunk accumulates at J*c, look-back at (J-1)*c
-            off = (i * m + j) * c
-            dkb = jax.lax.dot_general(ds_self, qj, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-            dvb = jax.lax.dot_general(p_self.astype(grad_dtype), do,
-                                      (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-            dk_ref[0, pl.ds(off, c), :] += dkb.astype(dk_ref.dtype)
-            dv_ref[0, pl.ds(off, c), :] += dvb.astype(dv_ref.dtype)
-            dkp = jax.lax.dot_general(ds_prev, qj, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-            dvp = jax.lax.dot_general(p_prev.astype(grad_dtype), do,
-                                      (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-            offp = jnp.maximum(off - c, 0)
-            if j == 0:
-                @pl.when(i > 0)
-                def _(dkp=dkp, dvp=dvp, offp=offp):
-                    dk_ref[0, pl.ds(offp, c), :] += dkp.astype(dk_ref.dtype)
-                    dv_ref[0, pl.ds(offp, c), :] += dvp.astype(dv_ref.dtype)
-            else:
-                dk_ref[0, pl.ds(offp, c), :] += dkp.astype(dk_ref.dtype)
-                dv_ref[0, pl.ds(offp, c), :] += dvp.astype(dv_ref.dtype)
+            acc_k[j * c:(j + 2) * c, :] += dkw[j]
+            acc_v[j * c:(j + 2) * c, :] += dvw[j]
+
+        @pl.when(i == 0)
+        def _():
+            # no block before the first: its prev-window contribution is
+            # already zero through the mask; land rows [0, bq)
+            dk_ref[0, 0:bq, :] += acc_k[c:, :].astype(dk_ref.dtype)
+            dv_ref[0, 0:bq, :] += acc_v[c:, :].astype(dv_ref.dtype)
+
+        if T > bq:   # single-block grids never take the i > 0 branch
+            @pl.when(i > 0)
+            def _():
+                off = i * bq - c
+                dk_ref[0, pl.ds(off, (m + 1) * c), :] += acc_k[:].astype(
+                    dk_ref.dtype)
+                dv_ref[0, pl.ds(off, (m + 1) * c), :] += acc_v[:].astype(
+                    dv_ref.dtype)
     return kernel
 
 
 # ------------------------------------------------------------- pallas calls
-def _specs(bq, c, m, D, n):
+def _specs(bq, c, m, D):
     prev = lambda g, i: (g, jnp.maximum(i - 1, 0), 0)
     cur = lambda g, i: (g, i, 0)
     return [
@@ -215,14 +228,13 @@ def _specs(bq, c, m, D, n):
         pl.BlockSpec((1, bq, D), prev),                      # k (prev block)
         pl.BlockSpec((1, bq, D), cur),                       # v
         pl.BlockSpec((1, bq, D), prev),                      # v prev
-        pl.BlockSpec((1, m, c), lambda g, i: (g, i, 0)),     # kpos rows
-        pl.BlockSpec((1, m, c), lambda g, i: (g, jnp.maximum(i - 1, 0), 0)),
-        # whole [c, n] qpos plane resident (tiny); column J selected in-kernel
-        pl.BlockSpec((1, c, n), lambda g, i: (g, 0, 0)),     # qpos columns
+        pl.BlockSpec((1, m, c), cur),                        # kpos rows
+        pl.BlockSpec((1, m, c), prev),                       # kpos prev rows
+        pl.BlockSpec((1, m, c), cur),                        # qpos rows
     ]
 
 
-def _fwd_call(q, k, v, kpos_rows, qpos_col, *, chunk, m, scale, self_bias,
+def _fwd_call(q, k, v, kpos_rows, qpos_rows, *, chunk, m, scale, self_bias,
               interpret):
     G, T, D = q.shape
     bq = m * chunk
@@ -231,28 +243,29 @@ def _fwd_call(q, k, v, kpos_rows, qpos_col, *, chunk, m, scale, self_bias,
     return pl.pallas_call(
         kernel,
         grid=(G, T // bq),
-        in_specs=_specs(bq, chunk, m, D, T // chunk),
+        in_specs=_specs(bq, chunk, m, D),
         out_specs=pl.BlockSpec((1, bq, P), lambda g, i: (g, i, 0)),
         out_shape=jax.ShapeDtypeStruct((G, T, P), q.dtype),
         interpret=interpret,
-    )(q, k, k, v, v, kpos_rows, kpos_rows, qpos_col)
+    )(q, k, k, v, v, kpos_rows, kpos_rows, qpos_rows)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _chunked_core(q, k, v, kpos, qpos_col, chunk, m, scale, self_bias,
+def _chunked_core(q, k, v, kpos, qpos_rows, chunk, m, scale, self_bias,
                   interpret):
-    return _fwd_call(q, k, v, kpos, qpos_col, chunk=chunk, m=m, scale=scale,
+    return _fwd_call(q, k, v, kpos, qpos_rows, chunk=chunk, m=m, scale=scale,
                      self_bias=self_bias, interpret=interpret)
 
 
-def _core_fwd(q, k, v, kpos, qpos_col, chunk, m, scale, self_bias, interpret):
-    packed = _fwd_call(q, k, v, kpos, qpos_col, chunk=chunk, m=m, scale=scale,
-                       self_bias=self_bias, interpret=interpret)
-    return packed, (q, k, v, kpos, qpos_col, packed)
+def _core_fwd(q, k, v, kpos, qpos_rows, chunk, m, scale, self_bias,
+              interpret):
+    packed = _fwd_call(q, k, v, kpos, qpos_rows, chunk=chunk, m=m,
+                       scale=scale, self_bias=self_bias, interpret=interpret)
+    return packed, (q, k, v, kpos, qpos_rows, packed)
 
 
 def _core_bwd(chunk, m, scale, self_bias, interpret, res, g):
-    q, k, v, kpos, qpos_col, packed = res
+    q, k, v, kpos, qpos_rows, packed = res
     G, T, D = q.shape
     bq = m * chunk
     P = _pad_to(D)
@@ -268,7 +281,7 @@ def _core_bwd(chunk, m, scale, self_bias, interpret, res, g):
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(G, T // bq),
-        in_specs=_specs(bq, chunk, m, D, T // chunk) + [
+        in_specs=_specs(bq, chunk, m, D) + [
             pl.BlockSpec((1, bq, P), lambda g, i: (g, i, 0)),
         ],
         out_specs=[
@@ -281,8 +294,12 @@ def _core_bwd(chunk, m, scale, self_bias, interpret, res, g):
             jax.ShapeDtypeStruct((G, T, D), jnp.float32),
             jax.ShapeDtypeStruct((G, T, D), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM(((m + 1) * chunk, D), jnp.float32),
+            pltpu.VMEM(((m + 1) * chunk, D), jnp.float32),
+        ],
         interpret=interpret,
-    )(q, k, k, v, v, kpos, kpos, qpos_col, dod)
+    )(q, k, k, v, v, kpos, kpos, qpos_rows, dod)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype), None, None
 
 
@@ -298,8 +315,8 @@ def chunked_window_attn(q, k, v, qpos, kpos, *, chunk, scale,
     G, T, D = q.shape
     m = _pick_m(T, chunk)
     n = T // chunk
-    qpos_col = qpos.reshape(G, n, chunk).transpose(0, 2, 1)  # [G, c, n]
+    qpos_rows = qpos.reshape(G, n, chunk)                    # [G, n, c]
     kpos_rows = kpos.reshape(G, n, chunk)                    # [G, n, c]
-    packed = _chunked_core(q, k, v, kpos_rows, qpos_col, chunk, m, scale,
+    packed = _chunked_core(q, k, v, kpos_rows, qpos_rows, chunk, m, scale,
                            float(self_bias), interpret)
     return packed[..., :D], packed[..., D].astype(jnp.float32)
