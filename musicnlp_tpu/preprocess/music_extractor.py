@@ -341,7 +341,11 @@ class MusicExtractor:
         for idx, e_tup in enumerate(elms_tup):
             dur += e_tup.dur
             n_tup_curr += 1
-            if n_tup_curr >= n_tup and self.dur_within_prec(dur):
+            # closure and the tail-join both test multiples of an 8TH note
+            # (reference is_8th, music_extractor.py:229/249) -- NOT the slot
+            # grid: a [1/6, 1/12] leftover (1/4 QL, on-grid but no 8th) stays
+            # its own group in the reference's artifacts (Beat It m.110)
+            if n_tup_curr >= n_tup and _is_8th(dur):
                 lst.append(tuple(elms_tup[idx_next_strt:idx + 1]))
                 tup_added = True
                 idx_next_strt = idx + 1
@@ -355,14 +359,14 @@ class MusicExtractor:
                     lst.append(note)
                     tup_added, is_single_tup = True, True
                     break
-                if self.dur_within_prec(dur) and n_tup_curr < n_tup:  # not enough at tail
+                if _is_8th(dur) and n_tup_curr < n_tup:  # not enough at tail
                     if tup_added:
                         lst[-1] = lst[-1] + tuple(elms_tup[idx_next_strt:])
                     else:
                         tup_added = True
                         lst.append(tuple(elms_tup[idx_next_strt:]))
                 elif n_tup_curr > 0:
-                    assert not self.dur_within_prec(dur)
+                    assert not _is_8th(dur)
                     warn_nm = WarnLog.InvTupDur
                     ranges = _filled_ranges(elms_tup[idx_next_strt:])
                     curr_ignored = False
