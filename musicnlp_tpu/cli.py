@@ -1,0 +1,197 @@
+"""Command-line interface: `python -m musicnlp_tpu <command>`.
+
+The reference has no CLI at all -- every entry point is a commented-in
+`__main__` block (reference trainer/train.py:371-593,
+preprocess/music_export.py:372-707) -- so this is a first-party addition
+covering the full user flow over the public API:
+
+    python -m musicnlp_tpu extract  SONGS... --out json/ [--combine combined.json]
+    python -m musicnlp_tpu dataset  combined.json --out dataset/ [--pitch-kind step]
+    python -m musicnlp_tpu train    --dataset dataset/ --out models/run1 \
+                                    [--recipe 22-11 | --model transf-xl --size base]
+    python -m musicnlp_tpu generate --model-dir models/run1 --n 4 \
+                                    [--strategy sample --top-k 8] [--key CMajor]
+
+Every command is a thin argparse wrapper over the same functions the
+Quickstart (README.md) uses; heavy imports stay inside each command so
+`--help` is instant and `extract`/`dataset` never pull in jax.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+from typing import List, Optional
+
+
+def _cmd_extract(a) -> int:
+    from musicnlp_tpu.preprocess.music_export import (
+        MusicExport, combine_saved_songs,
+    )
+    paths: List[str] = []
+    for s in a.songs:
+        hits = sorted(glob.glob(s, recursive=True)) if any(c in s for c in '*?[') else [s]
+        paths.extend(hits)
+    if not paths:
+        print('no input songs matched', file=sys.stderr)
+        return 2
+    # step-kind pitch tokens: the reference's corpus layout (its extractor
+    # runs with_pitch_step=True for datasets; dataset --pitch-kind then
+    # remaps step -> midi/degree at materialization)
+    exp = MusicExport(mode=a.mode,
+                      extractor_args=dict(with_pitch_step=True))
+    res = exp(paths, output_dir=a.out, save_each=True,
+              parallel=(a.jobs if a.jobs > 1 else False))
+    print(json.dumps({k: v for k, v in res.items() if k != 'errors'}))
+    for e in res['errors']:
+        print(f"error: {e.get('path')}: {e.get('error')}", file=sys.stderr)
+    if a.combine:
+        combined = combine_saved_songs(
+            sorted(glob.glob(os.path.join(a.out, '*.json'))), out_path=a.combine)
+        print(f"combined {combined['n_song']} songs -> {a.combine}")
+    return 1 if res['n_error'] and res['n_error'] == res['n_total'] else 0
+
+
+def _cmd_dataset(a) -> int:
+    from musicnlp_tpu.preprocess.music_export import (
+        combine_saved_songs, json2dataset,
+    )
+    if os.path.isdir(a.songs):
+        combined = combine_saved_songs(
+            sorted(glob.glob(os.path.join(a.songs, '*.json'))))
+    else:
+        with open(a.songs) as f:
+            combined = json.load(f)
+    paths = json2dataset(combined, a.out, test_frac=a.test_frac,
+                         pitch_kind=a.pitch_kind)
+    print(json.dumps(paths))
+    return 0
+
+
+def _cmd_train(a) -> int:
+    from musicnlp_tpu.preprocess.dataset import AugmentedDataset, SongDataset
+    from musicnlp_tpu.trainer.train import (
+        RECIPES, TrainArgs, Trainer, get_model_n_tokenizer, setup_recipe,
+    )
+    train_sd = SongDataset.load(os.path.join(a.dataset, 'train.npz'))
+    test_path = os.path.join(a.dataset, 'test.npz')
+    eval_sd = SongDataset.load(test_path) if os.path.exists(test_path) else None
+    overrides = {}
+    if a.epochs is not None:
+        overrides['num_train_epochs'] = a.epochs
+    if a.batch_size is not None:
+        overrides['batch_size'] = a.batch_size
+    if a.recipe:
+        trainer = setup_recipe(a.recipe, train_sd, eval_datasets=eval_sd,
+                               out_dir=a.out, train_args=overrides)
+    else:
+        model, tok = get_model_n_tokenizer(
+            a.model, a.size, pitch_kind=a.pitch_kind, max_length=a.max_length)
+        aug = dict(insert_key=a.insert_key, pitch_shift=a.insert_key,
+                   channel_mixup=a.channel_mixup)
+        train_ds = AugmentedDataset(train_sd, tok, dataset_split='train', **aug)
+        eval_ds = (AugmentedDataset(eval_sd, tok, random_crop=False,
+                                    dataset_split='test', **aug)
+                   if eval_sd is not None else None)
+        args = TrainArgs.from_preset(a.model, a.size, **overrides)
+        trainer = Trainer(model, tok, train_ds, eval_ds, args=args, out_dir=a.out)
+    summary = trainer.train()
+    print(json.dumps(dict(out_dir=trainer.out_dir, **{
+        k: v for k, v in (summary or {}).items()
+        if isinstance(v, (int, float, str))})))
+    return 0
+
+
+def _cmd_generate(a) -> int:
+    from musicnlp_tpu.trainer.eval import MusicGenerator, load_trained
+    model, params, tok = load_trained(a.model_dir)
+    gen = MusicGenerator(model, tok, params, augment_key=a.key is not None,
+                         out_dir=a.out)
+    strategy_args = {}
+    if a.top_k:
+        strategy_args['top_k'] = a.top_k
+    if a.top_p:
+        strategy_args['top_p'] = a.top_p
+    if a.temperature:
+        strategy_args['temperature'] = a.temperature
+    prompt_args = {}
+    if a.key:
+        prompt_args['key'] = a.key
+    mode = 'unconditional'
+    if a.condition_on:
+        mode = 'conditional'
+        prompt_args['songs'] = [a.condition_on] * a.n
+        prompt_args['n_bar'] = a.n_bar
+    outs = gen(mode=mode, strategy=a.strategy, n_song=a.n, seed=a.seed,
+               max_length=a.max_length, prompt_args=prompt_args,
+               **strategy_args)
+    for o in outs:
+        print(o.get('mxl') or o['text'][:80])
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog='musicnlp_tpu',
+        description='TPU-native symbolic music generation framework')
+    sub = p.add_subparsers(dest='command', required=True)
+
+    e = sub.add_parser('extract', help='MIDI/MusicXML files -> per-song token JSON')
+    e.add_argument('songs', nargs='+', help='files or globs (.mid/.mxl/.musicxml)')
+    e.add_argument('--out', required=True, help='per-song JSON output dir')
+    e.add_argument('--mode', choices=['full', 'melody'], default='full')
+    e.add_argument('--jobs', type=int, default=1, help='parallel workers')
+    e.add_argument('--combine', help='also merge shards into this combined JSON')
+    e.set_defaults(fn=_cmd_extract)
+
+    d = sub.add_parser('dataset', help='combined JSON (or shard dir) -> columnar npz dataset')
+    d.add_argument('songs', help='combined.json or a dir of per-song JSONs')
+    d.add_argument('--out', required=True)
+    d.add_argument('--test-frac', type=float, default=0.02)
+    d.add_argument('--pitch-kind', choices=['midi', 'step', 'degree'], default='step')
+    d.set_defaults(fn=_cmd_dataset)
+
+    t = sub.add_parser('train', help='train a model on an npz dataset')
+    t.add_argument('--dataset', required=True, help='dir with train.npz[/test.npz]')
+    t.add_argument('--out', required=True, help='checkpoint/output dir')
+    t.add_argument('--recipe', choices=['22-04', '22-11', '22-12'],
+                   help='named reference recipe (overrides model/size flags)')
+    t.add_argument('--model', choices=['transf-xl', 'reformer'], default='transf-xl')
+    t.add_argument('--size', default='base',
+                   choices=['debug', 'debug-large', 'tiny', 'small', 'base', 'large'])
+    t.add_argument('--pitch-kind', choices=['midi', 'step', 'degree'], default='degree')
+    t.add_argument('--max-length', type=int, default=None)
+    t.add_argument('--epochs', type=int, default=None)
+    t.add_argument('--batch-size', type=int, default=None)
+    t.add_argument('--insert-key', action='store_true',
+                   help='key-insert + degree pitch-shift augmentation')
+    t.add_argument('--channel-mixup', action='store_true')
+    t.set_defaults(fn=_cmd_train)
+
+    g = sub.add_parser('generate', help='sample songs from a trained model')
+    g.add_argument('--model-dir', required=True, help="a train run's --out dir")
+    g.add_argument('--out', default='generated', help='.mxl/.mid/.json output dir')
+    g.add_argument('--n', type=int, default=1)
+    g.add_argument('--strategy', default='sample',
+                   choices=['greedy', 'sample', 'beam', 'contrastive'])
+    g.add_argument('--top-k', type=int, default=0)
+    g.add_argument('--top-p', type=float, default=0.0)
+    g.add_argument('--temperature', type=float, default=0.0)
+    g.add_argument('--max-length', type=int, default=None)
+    g.add_argument('--seed', type=int, default=None)
+    g.add_argument('--key', help='prompt key for key-augmented models, e.g. CMajor')
+    g.add_argument('--condition-on', help='extracted .mxl (or token string) to continue')
+    g.add_argument('--n-bar', type=int, default=4, help='prompt bars when conditioning')
+    g.set_defaults(fn=_cmd_generate)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

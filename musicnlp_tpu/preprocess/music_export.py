@@ -76,7 +76,9 @@ class SingleExport:
         if out_path:
             with open(out_path, 'w') as f:
                 json.dump(rec, f)
-            return None
+            # distinct from the resume-skip None so the driver's n_done /
+            # n_skipped counts are truthful
+            return dict(saved=out_path)
         return rec
 
 

@@ -1,0 +1,68 @@
+"""End-to-end CLI flow (musicnlp_tpu/cli.py): extract -> dataset -> train ->
+generate over the golden fixture scores, exercising the same public API the
+README Quickstart documents."""
+import glob
+import json
+import os
+
+from musicnlp_tpu.cli import build_parser, main
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), 'goldens')
+
+
+def test_parser_has_all_subcommands():
+    helps = build_parser().format_help()
+    for cmd in ('extract', 'dataset', 'train', 'generate'):
+        assert cmd in helps
+
+
+def test_cli_end_to_end(tmp_path):
+    base = str(tmp_path)
+    goldens = sorted(glob.glob(os.path.join(GOLDEN_DIR, 'golden*.musicxml')))
+    assert len(goldens) >= 6
+    # 12 distinct inputs so one full global batch (8, the CPU-mesh data
+    # width) survives the test split
+    import shutil
+    inputs = []
+    for i, g in enumerate(goldens * 2):
+        p = f'{base}/in_{i}.musicxml'
+        shutil.copy(g, p)
+        inputs.append(p)
+
+    rc = main(['extract', *inputs, '--out', f'{base}/json',
+               '--combine', f'{base}/combined.json'])
+    assert rc == 0
+    with open(f'{base}/combined.json') as f:
+        combined = json.load(f)
+    assert combined['n_song'] == len(inputs)
+
+    rc = main(['dataset', f'{base}/combined.json', '--out', f'{base}/ds',
+               '--test-frac', '0.2', '--pitch-kind', 'step'])
+    assert rc == 0
+    assert os.path.exists(f'{base}/ds/train.npz')
+
+    rc = main(['train', '--dataset', f'{base}/ds', '--out', f'{base}/run',
+               '--model', 'transf-xl', '--size', 'debug',
+               '--pitch-kind', 'degree', '--epochs', '1', '--batch-size', '8',
+               '--insert-key'])
+    assert rc == 0
+    assert os.path.exists(f'{base}/run/trained.npz')
+
+    rc = main(['generate', '--model-dir', f'{base}/run', '--out',
+               f'{base}/gen', '--n', '1', '--strategy', 'sample',
+               '--top-k', '8', '--seed', '7', '--key', 'CMajor',
+               '--max-length', '48'])
+    assert rc == 0
+    assert glob.glob(f'{base}/gen/*.mxl') and glob.glob(f'{base}/gen/*.mid')
+
+
+def test_extract_resume_counts(tmp_path):
+    """Second run over the same output dir reports skips, not work."""
+    base = str(tmp_path)
+    golden = sorted(glob.glob(os.path.join(GOLDEN_DIR, 'golden*.musicxml')))[:2]
+    from musicnlp_tpu.preprocess.music_export import MusicExport
+    exp = MusicExport(mode='full', extractor_args=dict(with_pitch_step=True))
+    r1 = exp(golden, output_dir=f'{base}/json', save_each=True)
+    assert r1['n_done'] == 2 and r1['n_skipped'] == 0
+    r2 = exp(golden, output_dir=f'{base}/json', save_each=True)
+    assert r2['n_done'] == 0 and r2['n_skipped'] == 2
