@@ -34,14 +34,22 @@ def pairs():
     out = []
     for f in sorted(glob.glob(os.path.join(REF, 'extracted', '*.mxl'))):
         b = os.path.basename(f)
-        m = re.match(r'^\d\d-\d\d-\d\d_(.*)_\{md=f\}\.mxl(\.mxl)?$', b)
+        m = re.match(r'^(\d\d-\d\d-\d\d)_(.*)_\{md=f\}\.mxl(\.mxl)?$', b)
         if not m:
             continue
-        title = m.group(1)
+        title = m.group(2)
         orig = os.path.join(REF, 'original', title + '.mxl')
         if os.path.exists(orig):
-            out.append((title, orig, f))
+            out.append((title, orig, f, m.group(1)))
     return out
+
+
+def artifact_threshold(date: str) -> int:
+    """The reference's toy_example (music_extractor.py:1157-1247) made the
+    artifacts with greedy_tuplet_pitch_threshold=16 from 22-11 on; the two
+    22-10-28 artifacts predate that edit (Mozart bar 99's 24-variant run is
+    uncapped there) and use the 3**9 constructor default."""
+    return 16 if date >= '22-11' else 3 ** 9
 
 
 def similarity(a, b):
@@ -109,13 +117,14 @@ def main():
 
     mc = MusicConverter(mode='full')
     rows = []
-    for title, orig, extracted in pairs():
+    for title, orig, extracted, date in pairs():
         if filt and filt.lower() not in title.lower():
             continue
         t0 = time.time()
         ref_toks = mc.mxl2str(extracted, pitch_kind='step').split()
         me = MusicExtractor(mode='full', with_pitch_step=True,
-                            warn_logger=WarnLog(verbose=False))
+                            warn_logger=WarnLog(verbose=False),
+                            greedy_tuplet_pitch_threshold=artifact_threshold(date))
         try:
             ours = me(orig, exp='str_join').split()
         except Exception as e:  # noqa: BLE001

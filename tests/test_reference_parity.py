@@ -234,6 +234,21 @@ def test_melody_mode_is_full_mode_melody_channel():
 XGOLD = os.path.join(os.path.dirname(__file__), 'goldens', 'cross_extraction.json')
 
 
+def artifact_threshold(extracted_fnm: str) -> int:
+    """greedy_tuplet_pitch_threshold the reference used for a shipped artifact.
+
+    The artifacts were produced by the reference's `toy_example`
+    (music_extractor.py:1157-1247), whose final state passes
+    greedy_tuplet_pitch_threshold=16 -- NOT the constructor default 3**9.
+    Measured over all 36 pairs: every artifact dated >= 22-11 is token-exact
+    at 16 and several (e.g. Beat It m.112, a 6-chord septuplet run whose 2**6
+    cartesian exceeds 16) are NOT exact at 3**9, while the 22-10-28 Mozart
+    artifact requires NO cap on a 24-variant run (bar 99) so it predates the
+    threshold=16 edit; the other 22-10-28 artifact (Pachelbel) is exact under
+    both.  Hence: default threshold for 22-10 artifacts, 16 from 22-11 on."""
+    return 16 if extracted_fnm[:5] >= '22-11' else 3 ** 9
+
+
 def _xgold():
     with open(XGOLD) as f:
         return json.load(f)
@@ -254,7 +269,8 @@ def test_cross_extraction_parity(title, mc):
     ref_toks = mc.mxl2str(os.path.join(EXTRACTED, g['extracted']),
                           pitch_kind='step').split()
     me = MusicExtractor(mode='full', with_pitch_step=True,
-                        warn_logger=WarnLog(verbose=False))
+                        warn_logger=WarnLog(verbose=False),
+                        greedy_tuplet_pitch_threshold=artifact_threshold(g['extracted']))
     ours = me(os.path.join(ORIGINAL, title + '.mxl'), exp='str_join').split()
     if g['sim'] == 1.0:
         assert ours == ref_toks, title
@@ -263,10 +279,10 @@ def test_cross_extraction_parity(title, mc):
 
 
 def test_cross_extraction_aggregate(mc):
-    """Aggregate floor: >= 34/36 token-exact, mean similarity >= 0.9998."""
+    """Aggregate floor: >= 35/36 token-exact, mean similarity >= 0.99994."""
     g = _xgold()
-    assert sum(1 for r in g.values() if r['sim'] == 1.0) >= 34
-    assert sum(r['sim'] for r in g.values()) / len(g) >= 0.9998
+    assert sum(1 for r in g.values() if r['sim'] == 1.0) >= 35
+    assert sum(r['sim'] for r in g.values()) / len(g) >= 0.99994
 
 
 @pytest.mark.parametrize('title', sorted(
