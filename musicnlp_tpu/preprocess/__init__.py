@@ -8,6 +8,9 @@ from musicnlp_tpu.preprocess.fast_extractor import FastMidiExtractor, fast_extra
 from musicnlp_tpu.preprocess.music_export import (
     MusicExport, SingleExport, combine_saved_songs, json2dataset,
 )
+from musicnlp_tpu.preprocess.melody_grid import (
+    GridVocab, MelodyGridDataset, MelodyGridExtractor, grid_decode,
+)
 from musicnlp_tpu.preprocess.dataset import (
     AugmentedDataset, ProportionMixingDataset, SongDataset, load_songs,
 )

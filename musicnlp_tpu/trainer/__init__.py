@@ -3,3 +3,4 @@ from musicnlp_tpu.trainer.train import (
     setup_recipe,
 )
 from musicnlp_tpu.trainer.metrics import ComputeMetrics, IkrMetric
+from musicnlp_tpu.trainer.melody_w2v import PitchEmbedding
