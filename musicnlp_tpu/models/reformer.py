@@ -498,31 +498,66 @@ class Reformer:
                     sb = jax.lax.dynamic_update_slice(
                         sb, b_t.transpose(1, 2, 0)[None, :, :, :, None],
                         (ish, 0, 0, 0, t))                    # [n, B, N, R, L]
-                    pos = jnp.arange(L)
-                    causal = pos <= t
-                    cur_chunk = pos >= chunk_start
-                    self_m = pos == t
-                    score_all = jnp.einsum(
-                        'bnh,bnhl->bnl', q, sk[ish],
-                        preferred_element_type=jnp.float32)  # keys carry scale
-                    score_all = jnp.where(self_m[None, None],
-                                          score_all + SELF_BIAS, score_all)
-                    # all hash rounds at once; V cache read ONCE: with
-                    # per-round weights w_r = softmax_r(lse_r), the combined
-                    # context sum_r w_r * (softmax(sc_r) @ V)
-                    # == (sum_r w_r softmax(sc_r)) @ V
-                    match = sb[ish] == b_t.transpose(1, 2, 0)[..., None]
-                    mask = causal[None, None, None] & \
-                        (match | cur_chunk[None, None, None])
-                    sc = jnp.where(mask, score_all[:, :, None], NEG_INF)
-                    lse = jax.nn.logsumexp(sc, axis=-1)      # [B, N, R]
-                    pr = jnp.exp(sc - lse[..., None])
+                    # Stream only the LIVE prefix: a fori_loop with DYNAMIC
+                    # trip count t//CH + 1 over CH-wide cache chunks, exact
+                    # per-round online softmax (flash-style m/l/acc
+                    # accumulators).  The full-L einsum read all L columns of
+                    # K and V every step; decode is HBM-streaming-bound
+                    # (module notes), so average traffic -- and step time --
+                    # scales down by ~2x over a full-length generation.
+                    # Access stays purely sequential (the measured winner vs
+                    # gather-based estimators); chunk starts are lane-aligned
+                    # multiples of CH on the time-minor cache layout.
+                    CH = min(512, L)
+                    assert L % CH == 0
+                    N, H = q.shape[1], q.shape[2]
+                    bt = b_t.transpose(1, 2, 0)               # [B, N, R]
+                    sk_l, sv_l, sb_l = sk[ish], sv[ish], sb[ish]
+
+                    def chunk_body(j, carry):
+                        m_run, l_run, acc = carry
+                        off = j * CH
+                        ks = jax.lax.dynamic_slice(
+                            sk_l, (0, 0, 0, off), (B, N, H, CH))
+                        vs = jax.lax.dynamic_slice(
+                            sv_l, (0, 0, 0, off), (B, N, H, CH))
+                        bs = jax.lax.dynamic_slice(
+                            sb_l, (0, 0, 0, off), (B, N, R, CH))
+                        pos = off + jnp.arange(CH)
+                        sc0 = jnp.einsum(
+                            'bnh,bnhl->bnl', q, ks,
+                            preferred_element_type=jnp.float32)  # keys carry scale
+                        sc0 = jnp.where((pos == t)[None, None],
+                                        sc0 + SELF_BIAS, sc0)
+                        mask = (pos <= t)[None, None, None] & \
+                            ((bs == bt[..., None])
+                             | (pos >= chunk_start)[None, None, None])
+                        sc = jnp.where(mask, sc0[:, :, None], NEG_INF)
+                        m_new = jnp.maximum(m_run, jnp.max(sc, axis=-1))
+                        # explicit mask on p: an all-masked chunk would
+                        # otherwise exp(NEG_INF - NEG_INF) = 1 before any
+                        # valid key raises m_run above the mask floor
+                        p = jnp.where(mask, jnp.exp(sc - m_new[..., None]), 0.0)
+                        alpha = jnp.exp(m_run - m_new)
+                        l_run = l_run * alpha + jnp.sum(p, axis=-1)
+                        acc = acc * alpha[..., None] + jnp.einsum(
+                            'bnrl,bnhl->bnrh', p.astype(dtype), vs,
+                            preferred_element_type=jnp.float32)
+                        return m_new, l_run, acc
+
+                    init = (jnp.full((B, N, R), NEG_INF, jnp.float32),
+                            jnp.zeros((B, N, R), jnp.float32),
+                            jnp.zeros((B, N, R, cfg.d_head), jnp.float32))
+                    m_run, l_run, acc = jax.lax.fori_loop(
+                        0, t // CH + 1, chunk_body, init)
+                    lse = m_run + jnp.log(jnp.maximum(l_run, 1e-30))
+                    ctx_r = acc / jnp.maximum(l_run, 1e-30)[..., None]
                     if R > 1:
-                        pr = pr * jax.nn.softmax(lse, axis=-1)[..., None]
-                    ctx = jnp.einsum('bnl,bnhl->bnh',
-                                     pr.sum(axis=2).astype(dtype), sv[ish],
-                                     preferred_element_type=jnp.float32
-                                     ).astype(dtype)
+                        # round combine: sum_r softmax_r(lse) * ctx_r
+                        ctx = jnp.sum(jax.nn.softmax(lse, axis=-1)[..., None]
+                                      * ctx_r, axis=2).astype(dtype)
+                    else:
+                        ctx = ctx_r[:, :, 0].astype(dtype)
                 ctx = ctx.astype(dtype)
                 ish += 1
             a = jnp.einsum('bnh,nhd->bd', ctx, p['o'].astype(dtype),

@@ -86,17 +86,26 @@ def _windows(ext, c, m):
     return jnp.stack([ext[j * c:(j + 2) * c] for j in range(m)])
 
 
-def _pos_windows(kpos_ref, kposp_ref, c, m):
+def _pos_windows(kpos_ref, kposp_ref, i, c, m):
     """[m, 2c] key positions per window from the [1, m, c] chunk-major
     blocks: column half [0, c) is the look-back chunk, [c, 2c) is self.
     Built from rolls + masked selects -- Mosaic cannot concatenate operands
-    whose layouts carry mismatched sublane/lane offsets."""
+    whose layouts carry mismatched sublane/lane offsets.
+
+    The first chunk of the FIRST block has no look-back chunk; its prev rows
+    come from the clamped (g, 0) index map, so their positions are poisoned
+    to INT32_MAX here: the ordinary ``kpos <= qpos`` compare then masks them
+    with NO dedicated [m, c, 2c] lane/chunk-index mask passes in the score
+    kernel (those were ~6 extra VPU vreg passes per program, and the kernel
+    is VPU-mask-bound -- see the module docstring's round-3 notes)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (m, c), 0)
     kp_self = kpos_ref[0]                                     # [m, c]
     kp_prev = pltpu.roll(kp_self, 1, 0)                       # row j <- j-1
     prev_last = kposp_ref[0, m - 1].reshape(1, c)
-    kp_prev = jnp.where(rows == 0, jnp.broadcast_to(prev_last, (m, c)),
-                        kp_prev)
+    no_lookback = jnp.iinfo(jnp.int32).max
+    first_row = jnp.where(i > 0, jnp.broadcast_to(prev_last, (m, c)),
+                          no_lookback)
+    kp_prev = jnp.where(rows == 0, first_row, kp_prev)
     lane = jax.lax.broadcasted_iota(jnp.int32, (m, 2 * c), 1)
     pad = ((0, 0), (0, c))
     kp_prev_w = jnp.pad(kp_prev, pad)
@@ -104,24 +113,25 @@ def _pos_windows(kpos_ref, kposp_ref, c, m):
     return jnp.where(lane < c, kp_prev_w, kp_self_w)
 
 
-def _masked_scores(qc, kc, qp, kp, i, c, m, scale, self_bias):
-    """Batched masked scaled scores [m, c, 2c] f32 for all windows."""
+def _masked_scores(qc, kc, qp, kp, c, m, scale, self_bias):
+    """Batched masked scaled scores [m, c, 2c] f32 for all windows.
+
+    Only the causal ``kpos <= qpos`` compare runs at [m, c, 2c]: padding
+    arrives as kpos = T and the missing first look-back as INT32_MAX
+    (_pos_windows), so ONE compare covers causality, padding, and the
+    no-look-back corner."""
     s = jax.lax.dot_general(
         qc, kc, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
     qp3 = qp[:, :, None]
     kp3 = kp[:, None, :]
-    valid = kp3 <= qp3
-    # the first chunk of the FIRST block has no look-back chunk; its prev
-    # columns come from the clamped (g, 0) index map and must be masked
-    lane = jax.lax.broadcasted_iota(jnp.int32, (m, c, 2 * c), 2)
-    cidx = jax.lax.broadcasted_iota(jnp.int32, (m, c, 2 * c), 0)
-    valid &= (lane >= c) | (cidx > 0) | (i > 0)
-    s = jnp.where(valid, s, NEG_INF)
     if self_bias:
-        # kpos == qpos only at a query's own entry, which lives in the self
-        # half -- applying over the full window is equivalent and branchless
-        s = jnp.where(kp3 == qp3, s + self_bias, s)
+        # kpos == qpos only at a query's own entry (self half; subset of the
+        # valid region) -- nest inside the causal select, branchless
+        s = jnp.where(kp3 <= qp3,
+                      jnp.where(kp3 == qp3, s + self_bias, s), NEG_INF)
+    else:
+        s = jnp.where(kp3 <= qp3, s, NEG_INF)
     return s
 
 
@@ -135,8 +145,8 @@ def _make_fwd(c, m, scale, self_bias, D, out_dtype):
         vc = _windows(_ext_rows(v_ref, vp_ref, c, m), c, m)
         qc = q_ref[0].reshape(m, c, D)
         qp = qpos_ref[0]
-        kp = _pos_windows(kpos_ref, kposp_ref, c, m)
-        s = _masked_scores(qc, kc, qp, kp, i, c, m, scale, self_bias)
+        kp = _pos_windows(kpos_ref, kposp_ref, i, c, m)
+        s = _masked_scores(qc, kc, qp, kp, c, m, scale, self_bias)
         mx = jnp.max(s, axis=2, keepdims=True)
         p = jnp.exp(s - mx)
         l = jnp.maximum(jnp.sum(p, axis=2, keepdims=True), 1e-30)
@@ -168,8 +178,8 @@ def _make_bwd(c, m, scale, self_bias, D, T, grad_dtype):
         vc = _windows(_ext_rows(v_ref, vp_ref, c, m), c, m)
         qc = q_ref[0].reshape(m, c, D)
         qp = qpos_ref[0]
-        kp = _pos_windows(kpos_ref, kposp_ref, c, m)
-        s = _masked_scores(qc, kc, qp, kp, i, c, m, scale, self_bias)
+        kp = _pos_windows(kpos_ref, kposp_ref, i, c, m)
+        s = _masked_scores(qc, kc, qp, kp, c, m, scale, self_bias)
 
         dod = dod_ref[0].reshape(m, c, -1).astype(jnp.float32)
         lse = dod[:, :, D:D + 1]
