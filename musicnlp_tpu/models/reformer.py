@@ -508,8 +508,8 @@ class Reformer:
                     # Access stays purely sequential (the measured winner vs
                     # gather-based estimators); chunk starts are lane-aligned
                     # multiples of CH on the time-minor cache layout.
-                    CH = min(512, L)
-                    assert L % CH == 0
+                    CH = next(d for d in range(min(512, L), 0, -1)
+                              if L % d == 0)
                     N, H = q.shape[1], q.shape[2]
                     bt = b_t.transpose(1, 2, 0)               # [B, N, R]
                     sk_l, sv_l, sb_l = sk[ish], sv[ish], sb[ish]
