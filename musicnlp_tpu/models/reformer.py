@@ -130,6 +130,10 @@ class ReformerConfig:
     # the semantic model for a future sparse-friendly backend.
     decode_mode: str = 'scan'
     decode_window: int = 32
+    # 'scan' streams the cache in CH-wide chunks with a DYNAMIC trip count
+    # t//CH + 1 (only the live prefix is read); None = largest divisor of
+    # max_length <= 512.  Must divide max_length.
+    decode_scan_chunk: Optional[int] = None
     # HF `ReformerModelWithLMHead` weight-compatible mode, for importing
     # reference-trained checkpoints (utils/hf_import.py): reversible
     # two-stream residuals (Y1 = X1 + attn(LN X2); Y2 = X2 + ff(LN Y1)),
@@ -508,8 +512,9 @@ class Reformer:
                     # Access stays purely sequential (the measured winner vs
                     # gather-based estimators); chunk starts are lane-aligned
                     # multiples of CH on the time-minor cache layout.
-                    CH = next(d for d in range(min(512, L), 0, -1)
-                              if L % d == 0)
+                    CH = cfg.decode_scan_chunk or next(
+                        d for d in range(min(512, L), 0, -1) if L % d == 0)
+                    assert L % CH == 0, (CH, L)
                     N, H = q.shape[1], q.shape[2]
                     bt = b_t.transpose(1, 2, 0)               # [B, N, R]
                     sk_l, sv_l, sb_l = sk[ish], sv[ish], sb[ish]

@@ -444,3 +444,28 @@ def test_reformer_bounded_decode_truncated_quality():
     mean_s = sum(kls_s) / len(kls_s)
     assert mean_b < 0.02, f'bounded mean KL {mean_b:.4f}'
     assert mean_b < 2.0 * max(mean_s, 1e-3), (mean_b, mean_s)
+
+
+def test_reformer_scan_decode_chunked_streaming_exact():
+    """The prefix-streaming fori_loop attend (decode_scan_chunk < max_length,
+    per-round online softmax across chunk boundaries) must produce the SAME
+    logits as the single-chunk configuration at every step -- both are exact
+    math over the same cache, so the tolerance is numerical only.  Uses
+    n_hashes=2 so the cross-round lse combine is exercised through the
+    rescaling path too."""
+    kw = dict(vocab_size=96, dtype='float32', local_chunk=16, lsh_chunk=16,
+              max_length=128, n_hashes=2, dropout=0.0)
+    c1 = ReformerConfig.from_size('debug', decode_scan_chunk=128, **kw)
+    c4 = ReformerConfig.from_size('debug', decode_scan_chunk=32, **kw)
+    assert 'lsh' in c1.attn_layers
+    m1, m4 = Reformer(c1), Reformer(c4)
+    params = m1.init(jax.random.PRNGKey(3))
+    B, T = 3, 128
+    ids = jax.random.randint(jax.random.PRNGKey(9), (B, T), 2, 96)
+    s1, s4 = m1.init_decode_state(B), m4.init_decode_state(B)
+    step1, step4 = jax.jit(m1.decode_step), jax.jit(m4.decode_step)
+    for t in range(T):
+        l1, s1 = step1(params, ids[:, t], s1)
+        l4, s4 = step4(params, ids[:, t], s4)
+        np.testing.assert_allclose(np.asarray(l4), np.asarray(l1),
+                                   rtol=2e-4, atol=2e-4, err_msg=f't={t}')
