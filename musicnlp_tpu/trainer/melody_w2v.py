@@ -137,6 +137,24 @@ class PitchEmbedding:
         self.emb_out = np.asarray(emb_out)
         return self.emb_in
 
+    # ------------------------------------------------------------ persistence
+    def save(self, path: str):
+        """npz snapshot (the reference's gensim `Word2Vec.save` analog)."""
+        assert self.emb_in is not None, 'train before saving'
+        np.savez(path, emb_in=self.emb_in, emb_out=self.emb_out,
+                 losses=np.asarray(self.losses, dtype=np.float64),
+                 meta=np.asarray([self.dim, self.window, self.k,
+                                  self.vocab_size], dtype=np.int64))
+
+    @classmethod
+    def load(cls, path: str) -> 'PitchEmbedding':
+        z = np.load(path)
+        dim, window, k, vocab = (int(x) for x in z['meta'])
+        pe = cls(vector_size=dim, window=window, negatives=k, vocab_size=vocab)
+        pe.emb_in, pe.emb_out = z['emb_in'], z['emb_out']
+        pe.losses = [float(x) for x in z['losses']]
+        return pe
+
     # ------------------------------------------------------------------ query
     def vector(self, id_: int) -> np.ndarray:
         assert self.emb_in is not None, 'call the trainer first'

@@ -217,3 +217,17 @@ def test_pitch_embedding_trains_and_structures():
     assert within > across
     top = [i for i, _ in pe.most_similar(community_a[0], topn=4)]
     assert set(top) & set(community_a[1:])
+
+
+def test_pitch_embedding_save_load(tmp_path):
+    rng = np.random.default_rng(3)
+    songs = [rng.integers(128, 180, size=40).tolist() for _ in range(6)]
+    pe = PitchEmbedding(vector_size=8, window=3, negatives=2, lr=0.05, seed=0)
+    pe(songs, epochs=1, batch_size=128)
+    p = str(tmp_path / 'w2v.npz')
+    pe.save(p)
+    pe2 = PitchEmbedding.load(p)
+    assert pe2.dim == 8 and pe2.window == 3 and pe2.k == 2
+    np.testing.assert_array_equal(pe2.emb_in, pe.emb_in)
+    assert pe2.losses == pe.losses
+    assert pe2.similarity(130, 131) == pe.similarity(130, 131)
