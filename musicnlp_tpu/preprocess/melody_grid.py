@@ -101,17 +101,23 @@ def _elm_pitch(e: Union[Note, Chord]) -> int:
 
 def _bar_mean_freq(bar: Measure) -> Optional[float]:
     """Duration-weighted mean pitch frequency (the reference's 'fqs' part-
-    selection metric) or None for an all-rest bar."""
+    selection metric) or None for a bar with no sounding notes.  Rests count
+    at frequency 0 with their duration (reference avg_pitch appends rests
+    with value 0, melody_extractor.py:406-428): a sparse high line scores
+    BELOW a continuous lower melody."""
     fs, ws = [], []
+    any_note = False
     streams = bar.voices if bar.voices else [bar.elements]
     for stream in streams:
         for e in stream:
             if isinstance(e, (Note, Chord)):
-                n = e if isinstance(e, Note) else Note(pitch=max(
-                    e.pitches, key=lambda p: p.midi), duration=e.dur)
-                fs.append(note2pitch(n))
+                fs.append(note2pitch(e))  # Chord -> its max-midi pitch's freq
                 ws.append(float(e.dur))
-    if not fs or sum(ws) == 0:
+                any_note = True
+            elif isinstance(e, Rest):
+                fs.append(0.0)
+                ws.append(float(e.dur))
+    if not any_note or sum(ws) == 0:
         return None
     return float(np.average(fs, weights=ws))
 
@@ -241,30 +247,48 @@ def grid_decode(ids: Sequence[int], precision: int = 5,
         numer = Fraction(len(bids)) / slots_per_quarter
         assert numer.denominator == 1, 'bar length not a whole number of beats'
         ts: TsTup = (int(numer), 4)
-        runs = _rle(bids)
+
+        # Triplet regions FIRST, at slot level: a [TRIP] run of length k at
+        # slot s closes a triplet spanning [s-3k, s+k).  Working on slots
+        # (not the RLE walk) keeps reconstruction correct when member runs
+        # MERGE -- repeated member pitches, or a first member continuing the
+        # preceding note's pitch (the reference's ln==1/ln==2 and
+        # dur_non_trip split branches, melody_extractor.py:696-760).
+        regions: List[Tuple[int, int]] = []   # (start_slot, k)
+        s = 0
+        for id_, k in _rle(bids):
+            if id_ == GridVocab.TRIP and s - 3 * k >= 0 \
+                    and (not regions or regions[-1][0] + 4 * regions[-1][1]
+                         <= s - 3 * k):
+                members = [bids[s - (3 - j) * k: s - (2 - j) * k]
+                           for j in range(3)]
+                if all(len(set(g.tolist())) == 1
+                       and GridVocab.id2pitch(int(g[0])) is not None
+                       for g in members):
+                    regions.append((s - 3 * k, k))
+            s += k
+
         notes: List[Union[Note, Rest]] = []
-        off = Fraction(0)
-        i = 0
-        while i < len(runs):
-            id_, k = runs[i]
-            if (id_ == GridVocab.TRIP and len(notes) >= 3
-                    and all(isinstance(x, Note) for x in notes[-3:])
-                    and all(x.dur == k * slot for x in notes[-3:])):
-                span = 4 * k * slot
-                strt = off - 3 * k * slot
-                dur_ea = span / 3
-                for j, x in enumerate(notes[-3:]):
-                    x.offset = strt + j * dur_ea
-                    x.dur = dur_ea
-                off += k * slot
-                i += 1
-                continue
-            dur = k * slot
-            p = GridVocab.id2pitch(id_)
-            notes.append(Rest(duration=dur, offset=off) if p is None
-                         else Note(pitch=p, duration=dur, offset=off))
-            off += dur
-            i += 1
+
+        def decode_plain(lo: int, hi: int):
+            for id_, k in _rle(bids[lo:hi]):
+                off = lo * slot
+                dur = k * slot
+                p = GridVocab.id2pitch(id_)
+                notes.append(Rest(duration=dur, offset=off) if p is None
+                             else Note(pitch=p, duration=dur, offset=off))
+                lo += k
+
+        cur = 0
+        for rs, k in regions:
+            decode_plain(cur, rs)
+            dur_ea = 4 * k * slot / 3
+            for j in range(3):
+                notes.append(Note(pitch=GridVocab.id2pitch(int(bids[rs + j * k])),
+                                  duration=dur_ea,
+                                  offset=rs * slot + j * dur_ea))
+            cur = rs + 4 * k
+        decode_plain(cur, len(bids))
         measures.append(Measure(
             number=num_bar, elements=notes,
             time_sig=(ts if ts != prev_ts else None),

@@ -122,17 +122,26 @@ class PitchEmbedding:
         emb_out = jnp.zeros((self.vocab_size, self.dim), dtype=jnp.float32)
 
         n = len(pairs)
+        # one fixed batch shape (jit caches a single program); small corpora
+        # train whole-corpus batches, and the tail wraps around the permuted
+        # order rather than being dropped
+        bsz = min(batch_size, n)
         for _ in range(epochs):
             order = self.rng.permutation(n)
-            for lo in range(0, n - batch_size + 1, batch_size):
-                idx = order[lo:lo + batch_size]
+            epoch_losses = []
+            for lo in range(0, n, bsz):
+                idx = order[lo:lo + bsz]
+                if len(idx) < bsz:
+                    idx = np.concatenate([idx, order[:bsz - len(idx)]])
                 batch = pairs[idx]
-                negs = self.rng.choice(self.vocab_size, size=(len(idx), self.k),
+                negs = self.rng.choice(self.vocab_size, size=(bsz, self.k),
                                        p=probs).astype(np.int32)
                 emb_in, emb_out, loss = _sgns_step(
                     emb_in, emb_out, jnp.asarray(batch[:, 0]),
                     jnp.asarray(batch[:, 1]), jnp.asarray(negs), self.lr)
-            self.losses.append(float(loss))
+                epoch_losses.append(loss)
+            # aggregate over the epoch (a single final-batch sample is noise)
+            self.losses.append(float(np.mean([float(l) for l in epoch_losses])))
         self.emb_in = np.asarray(emb_in)
         self.emb_out = np.asarray(emb_out)
         return self.emb_in

@@ -231,3 +231,60 @@ def test_pitch_embedding_save_load(tmp_path):
     np.testing.assert_array_equal(pe2.emb_in, pe.emb_in)
     assert pe2.losses == pe.losses
     assert pe2.similarity(130, 131) == pe.similarity(130, 131)
+
+
+def test_decode_triplet_merged_runs():
+    """Triplets with repeated member pitches (RLE runs merge) must still
+    reconstruct: 3 notes of span/3 each (the reference decode's ln==1/ln==2
+    merged-run branches, melody_extractor.py:696-760)."""
+    trip = [Note(pitch=p, duration=Fraction(1, 3), offset=Fraction(i, 3),
+                 tm=(3, 2)) for i, p in enumerate((60, 60, 62))]
+    scr = _score_one_part([trip + [Rest(duration=3, offset=1)]])
+    me = MelodyGridExtractor()
+    ids = me(scr)
+    out = grid_decode(ids)
+    notes = out.parts[0].measures[0].elements
+    assert [n.pitch.midi for n in notes[:3]] == [60, 60, 62]
+    assert all(Fraction(n.dur) == Fraction(1, 3) for n in notes[:3])
+    assert np.array_equal(me(out), ids)
+
+
+def test_decode_triplet_first_member_merges_with_prior_note():
+    """A first member continuing the preceding note's pitch must split at the
+    triplet boundary (the reference's dur_non_trip split)."""
+    elems = [Note(pitch=60, duration=1, offset=0)] + [
+        Note(pitch=p, duration=Fraction(1, 3), offset=1 + Fraction(i, 3),
+             tm=(3, 2)) for i, p in enumerate((60, 64, 67))]
+    scr = _score_one_part([elems + [Rest(duration=2, offset=2)]])
+    me = MelodyGridExtractor()
+    ids = me(scr)
+    out = grid_decode(ids)
+    notes = out.parts[0].measures[0].elements
+    assert (notes[0].pitch.midi, Fraction(notes[0].dur)) == (60, 1)
+    assert [n.pitch.midi for n in notes[1:4]] == [60, 64, 67]
+    assert all(Fraction(n.dur) == Fraction(1, 3) for n in notes[1:4])
+    assert np.array_equal(me(out), ids)
+
+
+def test_part_selection_counts_rests_at_zero():
+    """Reference 'fqs' weights rests at frequency 0 (avg_pitch,
+    melody_extractor.py:406-428): a sparse high part must lose to a
+    continuous lower melody."""
+    sparse_hi = [Note(pitch=80, duration=1, offset=0), Rest(duration=3, offset=1)]
+    steady_lo = [Note(pitch=60, duration=4, offset=0)]
+    scr = Score(title='t', parts=[
+        Part(name='hi', measures=[Measure(0, list(sparse_hi), (4, 4), 120.0)]),
+        Part(name='lo', measures=[Measure(0, list(steady_lo), (4, 4), 120.0)]),
+    ])
+    ids = MelodyGridExtractor()(scr)
+    assert set(ids.tolist()) == {GridVocab.pitch2id(60)}
+
+
+def test_pitch_embedding_small_corpus():
+    """Corpora smaller than the batch size still train (whole-corpus
+    batches), and the tail of a non-dividing epoch is not dropped."""
+    songs = [[130, 131, 132, 133]] * 3
+    pe = PitchEmbedding(vector_size=4, window=2, negatives=2, lr=0.05, seed=0)
+    emb = pe(songs, epochs=2, batch_size=4096)
+    assert emb.shape == (GridVocab.SIZE, 4)
+    assert len(pe.losses) == 2 and all(np.isfinite(pe.losses))
