@@ -110,6 +110,7 @@ def generate_scan(
         decode_step: Callable, init_state, prompt_ids: jnp.ndarray,
         prompt_len: jnp.ndarray, *, max_length: int, eos_id: int, pad_id: int,
         sample_cfg: SampleConfig, vocab_size: int, rng=None,
+        early_exit_chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run one fixed-shape decode scan.
 
@@ -118,6 +119,17 @@ def generate_scan(
     prompt_len:  int32 [B] true prompt lengths (>= 1).
     Returns (ids int32 [B, max_length] incl. prompt, out_len int32 [B]).
     Positions beyond a sequence's end are pad_id.
+
+    early_exit_chunk: if set, steps run in chunks of this size inside a
+    `lax.while_loop` that stops once EVERY sequence has emitted eos -- the
+    HF `generate` stopping rule (reference trainer/eval.py:333 inherits it),
+    and the lever for single/small-batch song-generation latency: songs end
+    with </s> long before max_length, and the fixed-length scan otherwise
+    pays full price for the dead tail.  Token output is bit-identical to the
+    plain scan: a step where all sequences are finished writes only pad_id
+    over pad_id (counts add 0, samples are discarded), so skipping it cannot
+    change `buf`; the tail scan below caps total executed steps at
+    max_length-1 so caches never see out-of-range positions either.
     """
     B, P = prompt_ids.shape
     assert P <= max_length
@@ -151,9 +163,38 @@ def generate_scan(
         return (state, buf, new_finished, counts, rng), None
 
     finished0 = jnp.zeros((B,), bool)
-    (state, buf, finished, _, _), _ = jax.lax.scan(
-        body, (init_state, buf, finished0, counts0, rng),
-        jnp.arange(max_length - 1))
+    n_steps = max_length - 1
+    if early_exit_chunk and n_steps > 0:
+        ch = min(int(early_exit_chunk), n_steps)
+        n_full = n_steps // ch
+
+        def chunk_body(wcarry):
+            t0, carry = wcarry
+            carry, _ = jax.lax.scan(
+                lambda c, i: body(c, t0 + i), carry, jnp.arange(ch))
+            return t0 + ch, carry
+
+        def chunk_cond(wcarry):
+            t0, carry = wcarry
+            return (t0 < n_full * ch) & ~jnp.all(carry[2])
+
+        t0, carry = jax.lax.while_loop(
+            chunk_cond, chunk_body,
+            (jnp.zeros((), jnp.int32),
+             (init_state, buf, finished0, counts0, rng)))
+        # Tail: the last n_steps % ch steps.  After an early exit it runs
+        # no-op steps at t0 (buf untouched, see docstring); otherwise it
+        # finishes the sequence exactly.  Either way total executed steps
+        # <= n_steps, so decode caches stay in range.
+        tail = n_steps - n_full * ch
+        if tail:
+            carry, _ = jax.lax.scan(
+                lambda c, i: body(c, t0 + i), carry, jnp.arange(tail))
+        state, buf, finished, _, _ = carry
+    else:
+        (state, buf, finished, _, _), _ = jax.lax.scan(
+            body, (init_state, buf, finished0, counts0, rng),
+            jnp.arange(n_steps))
 
     # output length: position after the first eos at/after prompt end, else max
     idx = jnp.arange(max_length)[None, :]

@@ -159,3 +159,28 @@ def test_beam_default_reorder_handles_axis1_state(tiny_lm):
                                   np.asarray(default[0]))
     np.testing.assert_array_equal(np.asarray(with_reorder[1]),
                                   np.asarray(default[1]))
+
+
+@pytest.mark.parametrize('chunk', [4, 5, 31, 128])
+def test_generate_early_exit_bit_identical(tiny_lm, chunk):
+    """The chunked early-exit while_loop path returns the exact (ids,
+    out_len) of the plain fixed-length scan -- with and without an early
+    finish, chunk dividing n_steps or not, greedy and sampled."""
+    model, params = tiny_lm
+    prompt = jnp.array([[5, 6, 7, 8], [9, 10, 1, 1]], jnp.int32)
+    plen = jnp.array([4, 2], jnp.int32)
+    eos_params = dict(params, out_bias=params['out_bias'].at[3].add(100.0))
+    for p, cfg in [(params, SampleConfig(strategy='sample', temperature=2.0)),
+                   (params, SampleConfig(strategy='greedy')),
+                   (eos_params, SampleConfig(strategy='greedy'))]:
+        def run(ch):
+            st = model.init_decode_state(2)
+            return generate_scan(
+                lambda tok, s: model.decode_step(p, tok, s), st,
+                prompt, plen, max_length=32, eos_id=3, pad_id=1,
+                sample_cfg=cfg, vocab_size=model.cfg.vocab_size,
+                rng=jax.random.PRNGKey(7), early_exit_chunk=ch)
+        plain = run(None)
+        early = jax.jit(lambda: run(chunk))()
+        np.testing.assert_array_equal(np.asarray(plain[0]), np.asarray(early[0]))
+        np.testing.assert_array_equal(np.asarray(plain[1]), np.asarray(early[1]))
