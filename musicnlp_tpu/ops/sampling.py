@@ -106,6 +106,39 @@ def process_logits(
     return logits
 
 
+def _scan_early_exit(body, carry0, n_steps: int, chunk: Optional[int],
+                     all_done: Callable):
+    """Run `body(carry, t)` for t = 0..n_steps-1: one plain `lax.scan` when
+    `chunk` is falsy, else `chunk`-step scans inside a `lax.while_loop` that
+    exits once `all_done(carry)` -- HF generate's all-sequences-finished
+    stopping rule.  Callers' bodies are no-ops on the token buffer once every
+    sequence is finished (they write pad over pad; beam variants at most
+    re-sort frozen beams, and final selection is permutation-invariant), so
+    the result is bit-identical to the plain scan.  A tail scan covers
+    n_steps % chunk; total executed steps never exceed n_steps, so decode
+    caches never see out-of-range positions."""
+    if not chunk or n_steps <= 0:
+        carry, _ = jax.lax.scan(body, carry0, jnp.arange(n_steps))
+        return carry
+    ch = min(int(chunk), n_steps)
+    n_full = n_steps // ch
+
+    def chunk_body(wcarry):
+        t0, carry = wcarry
+        carry, _ = jax.lax.scan(
+            lambda c, i: body(c, t0 + i), carry, jnp.arange(ch))
+        return t0 + ch, carry
+
+    t0, carry = jax.lax.while_loop(
+        lambda wc: (wc[0] < n_full * ch) & ~all_done(wc[1]), chunk_body,
+        (jnp.zeros((), jnp.int32), carry0))
+    tail = n_steps - n_full * ch
+    if tail:
+        carry, _ = jax.lax.scan(
+            lambda c, i: body(c, t0 + i), carry, jnp.arange(tail))
+    return carry
+
+
 def generate_scan(
         decode_step: Callable, init_state, prompt_ids: jnp.ndarray,
         prompt_len: jnp.ndarray, *, max_length: int, eos_id: int, pad_id: int,
@@ -120,16 +153,10 @@ def generate_scan(
     Returns (ids int32 [B, max_length] incl. prompt, out_len int32 [B]).
     Positions beyond a sequence's end are pad_id.
 
-    early_exit_chunk: if set, steps run in chunks of this size inside a
-    `lax.while_loop` that stops once EVERY sequence has emitted eos -- the
-    HF `generate` stopping rule (reference trainer/eval.py:333 inherits it),
-    and the lever for single/small-batch song-generation latency: songs end
-    with </s> long before max_length, and the fixed-length scan otherwise
-    pays full price for the dead tail.  Token output is bit-identical to the
-    plain scan: a step where all sequences are finished writes only pad_id
-    over pad_id (counts add 0, samples are discarded), so skipping it cannot
-    change `buf`; the tail scan below caps total executed steps at
-    max_length-1 so caches never see out-of-range positions either.
+    early_exit_chunk: if set, stop decoding (in chunks of this size) once
+    EVERY sequence has emitted eos -- HF generate's stopping rule (reference
+    trainer/eval.py:333 inherits it) and the lever for single/small-batch
+    song-generation latency.  Bit-identical output; see _scan_early_exit.
     """
     B, P = prompt_ids.shape
     assert P <= max_length
@@ -163,38 +190,9 @@ def generate_scan(
         return (state, buf, new_finished, counts, rng), None
 
     finished0 = jnp.zeros((B,), bool)
-    n_steps = max_length - 1
-    if early_exit_chunk and n_steps > 0:
-        ch = min(int(early_exit_chunk), n_steps)
-        n_full = n_steps // ch
-
-        def chunk_body(wcarry):
-            t0, carry = wcarry
-            carry, _ = jax.lax.scan(
-                lambda c, i: body(c, t0 + i), carry, jnp.arange(ch))
-            return t0 + ch, carry
-
-        def chunk_cond(wcarry):
-            t0, carry = wcarry
-            return (t0 < n_full * ch) & ~jnp.all(carry[2])
-
-        t0, carry = jax.lax.while_loop(
-            chunk_cond, chunk_body,
-            (jnp.zeros((), jnp.int32),
-             (init_state, buf, finished0, counts0, rng)))
-        # Tail: the last n_steps % ch steps.  After an early exit it runs
-        # no-op steps at t0 (buf untouched, see docstring); otherwise it
-        # finishes the sequence exactly.  Either way total executed steps
-        # <= n_steps, so decode caches stay in range.
-        tail = n_steps - n_full * ch
-        if tail:
-            carry, _ = jax.lax.scan(
-                lambda c, i: body(c, t0 + i), carry, jnp.arange(tail))
-        state, buf, finished, _, _ = carry
-    else:
-        (state, buf, finished, _, _), _ = jax.lax.scan(
-            body, (init_state, buf, finished0, counts0, rng),
-            jnp.arange(n_steps))
+    state, buf, finished, _, _ = _scan_early_exit(
+        body, (init_state, buf, finished0, counts0, rng), max_length - 1,
+        early_exit_chunk, all_done=lambda c: jnp.all(c[2]))
 
     # output length: position after the first eos at/after prompt end, else max
     idx = jnp.arange(max_length)[None, :]
@@ -211,10 +209,11 @@ def beam_generate(
         decode_step: Callable, init_state_fn: Callable, prompt_ids: jnp.ndarray,
         prompt_len: jnp.ndarray, *, max_length: int, eos_id: int, pad_id: int,
         num_beams: int, length_penalty: float = 1.0,
-        reorder_state: Callable = None,
+        reorder_state: Callable = None, early_exit_chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam-search decode (reference eval.py strategy 'beam', HF semantics:
     log-prob beams, eos freezes a beam, length penalty at final selection).
+    early_exit_chunk stops once every beam is frozen (see _scan_early_exit).
 
     decode_step: (token_ids [B*W], state) -> (logits [B*W, V], state).
     init_state_fn: (batch_size) -> fresh decode state for that batch size.
@@ -277,8 +276,9 @@ def beam_generate(
         buf = buf.at[:, t + 1].set(jnp.where(finished, pad_id, nxt))
         return (state, buf, scores, new_finished), None
 
-    (state, buf, scores, finished), _ = jax.lax.scan(
-        body, (state, buf, scores0, finished0), jnp.arange(max_length - 1))
+    state, buf, scores, finished = _scan_early_exit(
+        body, (state, buf, scores0, finished0), max_length - 1,
+        early_exit_chunk, all_done=lambda c: jnp.all(c[3]))
 
     # final selection with length penalty
     idx = jnp.arange(max_length)[None, :]
@@ -298,7 +298,7 @@ def contrastive_generate(
         prompt_len: jnp.ndarray, *, max_length: int, eos_id: int, pad_id: int,
         top_k: int = 4, penalty_alpha: float = 0.6, d_model: int,
         expand_state: Callable, select_state: Callable,
-        hidden_dtype=jnp.float32,
+        hidden_dtype=jnp.float32, early_exit_chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Contrastive search (HF `penalty_alpha` decoding; reference eval.py
     strategy 'contrastive'): at each step the top-k candidates are re-scored
@@ -355,8 +355,9 @@ def contrastive_generate(
         return (state, buf, ctx_h, new_finished), None
 
     finished0 = jnp.zeros((B,), bool)
-    (state, buf, _, _), _ = jax.lax.scan(
-        body, (init_state, buf, ctx_h0, finished0), jnp.arange(max_length - 1))
+    state, buf, _, _ = _scan_early_exit(
+        body, (init_state, buf, ctx_h0, finished0), max_length - 1,
+        early_exit_chunk, all_done=lambda c: jnp.all(c[3]))
 
     idx = jnp.arange(max_length)[None, :]
     is_eos = (buf == eos_id) & (idx >= (prompt_len[:, None] - 1))
@@ -372,6 +373,7 @@ def diverse_beam_generate(
         prompt_len: jnp.ndarray, *, max_length: int, eos_id: int, pad_id: int,
         num_beams: int, num_beam_groups: int, diversity_penalty: float = 1.0,
         length_penalty: float = 1.0, reorder_state: Callable = None,
+        early_exit_chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Diverse (group) beam search (Vijayakumar et al.; HF
     `num_beam_groups`/`diversity_penalty`, the reference's 'beam(+diverse
@@ -452,8 +454,9 @@ def diverse_beam_generate(
         buf = buf.at[:, t + 1].set(jnp.where(finished, pad_id, toks))
         return (state, buf, scores, new_finished), None
 
-    (state, buf, scores, finished), _ = jax.lax.scan(
-        body, (state, buf, scores0, finished0), jnp.arange(max_length - 1))
+    state, buf, scores, finished = _scan_early_exit(
+        body, (state, buf, scores0, finished0), max_length - 1,
+        early_exit_chunk, all_done=lambda c: jnp.all(c[3]))
 
     idx = jnp.arange(max_length)[None, :]
     is_eos = (buf == eos_id) & (idx >= (plen[:, None] - 1))

@@ -268,9 +268,9 @@ class MusicGenerator:
     ) -> List[str]:
         """Batch of prompt token-strings -> generated token-strings.
 
-        early_exit_chunk: greedy/sample decoding stops (in chunks of this
-        size) once every song has emitted </s> -- HF generate's stopping
-        rule; bit-identical output, lower song latency.  0 disables."""
+        early_exit_chunk: decoding stops (in chunks of this size) once
+        every song/beam has emitted </s> -- HF generate's stopping rule;
+        bit-identical output, lower song latency.  0 disables."""
         tok = self.tokenizer
         max_length = max_length or tok.model_max_length
         cfg = (SampleConfig(strategy='greedy') if strategy in ('beam', 'contrastive')
@@ -303,7 +303,8 @@ class MusicGenerator:
                         d_model=getattr(model, 'hidden_dim', model.cfg.d_model),
                         expand_state=model.expand_decode_state,
                         select_state=model.select_decode_state,
-                        hidden_dtype=model.cfg.compute_dtype)
+                        hidden_dtype=model.cfg.compute_dtype,
+                        early_exit_chunk=early_exit_chunk or None)
             elif strategy == 'beam':
                 num_beams = int(strategy_args.get('num_beams', 4))
                 n_groups = int(strategy_args.get('num_beam_groups', 1))
@@ -330,7 +331,8 @@ class MusicGenerator:
                             num_beam_groups=n_groups,
                             diversity_penalty=div_penalty,
                             length_penalty=length_penalty,
-                            reorder_state=reorder)
+                            reorder_state=reorder,
+                            early_exit_chunk=early_exit_chunk or None)
                 else:
                     def run(params, prompt_ids, plen, rng):
                         return beam_generate(
@@ -338,7 +340,8 @@ class MusicGenerator:
                             model.init_decode_state, prompt_ids, plen,
                             max_length=max_length, eos_id=tok.eos_token_id,
                             pad_id=tok.pad_token_id, num_beams=num_beams,
-                            length_penalty=length_penalty, reorder_state=reorder)
+                            length_penalty=length_penalty, reorder_state=reorder,
+                            early_exit_chunk=early_exit_chunk or None)
             else:
                 def run(params, prompt_ids, plen, rng):
                     st = model.init_decode_state(prompt_ids.shape[0])

@@ -184,3 +184,41 @@ def test_generate_early_exit_bit_identical(tiny_lm, chunk):
         early = jax.jit(lambda: run(chunk))()
         np.testing.assert_array_equal(np.asarray(plain[0]), np.asarray(early[0]))
         np.testing.assert_array_equal(np.asarray(plain[1]), np.asarray(early[1]))
+
+
+@pytest.mark.parametrize('bias', [100.0, -100.0])   # early finish vs full run
+def test_beam_and_contrastive_early_exit_bit_identical(tiny_lm, bias):
+    from musicnlp_tpu.ops.sampling import (
+        beam_generate, contrastive_generate, diverse_beam_generate,
+    )
+    model, params = tiny_lm
+    params = dict(params, out_bias=params['out_bias'].at[3].add(bias))
+    prompt = jnp.array([[5, 6, 7], [9, 10, 1]], jnp.int32)
+    plen = jnp.array([3, 2], jnp.int32)
+    kw = dict(max_length=24, eos_id=3, pad_id=1)
+
+    def beam(ch):
+        return beam_generate(
+            lambda t, s: model.decode_step(params, t, s),
+            model.init_decode_state, prompt, plen, num_beams=4,
+            early_exit_chunk=ch, **kw)
+
+    def dbeam(ch):
+        return diverse_beam_generate(
+            lambda t, s: model.decode_step(params, t, s),
+            model.init_decode_state, prompt, plen, num_beams=4,
+            num_beam_groups=2, early_exit_chunk=ch, **kw)
+
+    def contr(ch):
+        return contrastive_generate(
+            lambda t, s: model.decode_step_with_hidden(params, t, s),
+            model.init_decode_state(2), prompt, plen, top_k=3,
+            penalty_alpha=0.6, d_model=model.cfg.d_model,
+            expand_state=model.expand_decode_state,
+            select_state=model.select_decode_state,
+            early_exit_chunk=ch, **kw)
+
+    for fn in (beam, dbeam, contr):
+        plain, early = fn(None), jax.jit(lambda: fn(7))()
+        np.testing.assert_array_equal(np.asarray(plain[0]), np.asarray(early[0]))
+        np.testing.assert_array_equal(np.asarray(plain[1]), np.asarray(early[1]))
