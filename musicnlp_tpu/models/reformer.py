@@ -619,7 +619,6 @@ class Reformer:
         s = jnp.einsum('bnh,bnhs->bns', q, k_sel,
                        preferred_element_type=jnp.float32)    # keys carry scale
         s = jnp.where(posS == t, s + SELF_BIAS, s)
-        blk = jnp.arange(S) // W                              # [S]: cand block r, chunk = >= R
         lses, prs = [], []
         for r in range(R):
             m = jnp.concatenate(

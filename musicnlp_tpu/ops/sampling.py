@@ -134,8 +134,14 @@ def _scan_early_exit(body, carry0, n_steps: int, chunk: Optional[int],
         (jnp.zeros((), jnp.int32), carry0))
     tail = n_steps - n_full * ch
     if tail:
-        carry, _ = jax.lax.scan(
-            lambda c, i: body(c, t0 + i), carry, jnp.arange(tail))
+        # skipped when the while_loop exited early (those steps would be
+        # no-ops anyway, but on e.g. the Reformer scan path each costs an
+        # O(cache) stream -- the latency this feature exists to save)
+        def run_tail(c):
+            c, _ = jax.lax.scan(lambda c, i: body(c, t0 + i), c,
+                                jnp.arange(tail))
+            return c
+        carry = jax.lax.cond(all_done(carry), lambda c: c, run_tail, carry)
     return carry
 
 

@@ -32,18 +32,22 @@ def init_distributed(coordinator_address: Optional[str] = None,
     from the TPU metadata/env (the normal pod-slice path); explicit args
     support bring-your-own coordinators.  No-op when already initialized or
     when nothing indicates a multi-process launch.  Returns process_count."""
-    try:
-        # probe WITHOUT jax.process_count(): that call initializes the XLA
-        # backend, after which jax.distributed.initialize refuses to run
+    # probe WITHOUT jax.process_count(): that call initializes the XLA
+    # backend, after which jax.distributed.initialize refuses to run
+    if hasattr(jax.distributed, 'is_initialized'):        # public when present
+        already = jax.distributed.is_initialized()
+    else:
         from jax._src import distributed as _dist
         already = _dist.global_state.client is not None
-    except Exception:
-        already = False
     if not already and (coordinator_address or num_processes
                         or _looks_distributed()):
-        jax.distributed.initialize(coordinator_address=coordinator_address,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+        try:
+            jax.distributed.initialize(coordinator_address=coordinator_address,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+        except RuntimeError as e:                          # keep the no-op contract
+            if 'already initialized' not in str(e).lower():
+                raise
     return jax.process_count()
 
 

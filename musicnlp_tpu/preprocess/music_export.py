@@ -18,6 +18,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import time
 import traceback
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor, as_completed
@@ -158,7 +159,11 @@ def combine_saved_songs(json_paths: Sequence[str], out_path: str = None,
     for p in sorted(json_paths):
         with open(p) as f:
             d = json.load(f)
-        if 'error' not in d:
+        # keep only actual song records: error shards have 'error', and a
+        # directory glob can pick up a previously written combined file
+        # (music/n_song keys) -- silently ingesting it would nest a whole
+        # corpus as one "song" and crash json2dataset later
+        if 'error' not in d and 'score' in d:
             songs.append(d)
     combined = dict(music=songs, n_song=len(songs),
                     extractor_meta=extractor_meta or {})
@@ -187,6 +192,23 @@ def json2dataset(
     songs = (songs_or_combined.get('music')
              if isinstance(songs_or_combined, dict) else songs_or_combined)
     vocab = MusicVocabulary(pitch_kind=pitch_kind)
+    # Corpora extracted the reference way are STEP-kind (spelled pitches,
+    # p_<idx>/<oct>_<step>).  A midi materialization remaps them here --
+    # key-independent, same table AugmentedDataset uses at load.  A degree
+    # materialization is key-DEPENDENT (one id per key x pitch) and belongs
+    # at train time, so asking for it on a step corpus is an error.
+    step_pitch = re.compile(r'p_-?\d+/-?\d+_')
+    if pitch_kind != 'step' and songs \
+            and any(step_pitch.match(t) for t in songs[0]['score'].split()):
+        if pitch_kind == 'degree':
+            raise ValueError(
+                "a step-kind corpus cannot materialize as 'degree' (degree "
+                "pitch ids depend on the sampled key): materialize as 'step' "
+                "and train with a degree tokenizer + key insertion "
+                "(CLI: train --pitch-kind degree --insert-key)")
+        from musicnlp_tpu.preprocess.transform import ToMidiPitch
+        remap = ToMidiPitch(vocab=MusicVocabulary(pitch_kind='step'))
+        songs = [dict(s, score=remap(s['score'])) for s in songs]
     if split_map:
         tr = [s for s in songs if split_map.get(s.get('title'), 'train') == 'train']
         te = [s for s in songs if split_map.get(s.get('title')) == 'test']

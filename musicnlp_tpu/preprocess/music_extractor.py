@@ -135,6 +135,9 @@ def _notation_components(ql: Fraction) -> List[Fraction]:
     Identity for notatable durations."""
     if _is_single_notatable(ql):
         return [ql]
+    # dyadic input is the walk's termination invariant (a 1/3-QL input would
+    # never reach 0); guaranteed by notes2quantized_notes upstream
+    assert ql.denominator & (ql.denominator - 1) == 0, ql
     out: List[Fraction] = []
     rem = ql
     while rem > 0:

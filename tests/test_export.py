@@ -82,6 +82,13 @@ def test_combine_and_dataset(song_files, tmp_path):
     combined = combine_saved_songs(glob.glob(os.path.join(out, '*.json')),
                                    out_path=str(tmp_path / 'combined.json'))
     assert combined['n_song'] == 4
+    # re-combining a dir that (deliberately or via a lazy glob) now contains
+    # the combined file itself must not ingest it as a song -- the natural
+    # `extract --combine json/combined.json` rerun hits exactly this
+    import shutil
+    shutil.copy(str(tmp_path / 'combined.json'), os.path.join(out, 'combined.json'))
+    again = combine_saved_songs(glob.glob(os.path.join(out, '*.json')))
+    assert again['n_song'] == 4
     ds_dir = str(tmp_path / 'ds')
     paths = json2dataset(combined, ds_dir, test_frac=0.25, pitch_kind='midi')
     assert set(paths) == {'train', 'test'}
@@ -94,6 +101,21 @@ def test_combine_and_dataset(song_files, tmp_path):
     item = ad[0]
     assert item['input_ids'].shape == (64,)
     assert (item['key_scores'] > 0).any()
+
+
+def test_json2dataset_step_corpus_remaps_to_midi(song_files, tmp_path):
+    """CLI extract writes STEP-kind corpora (reference layout); a midi
+    materialization must remap instead of sanitizing every spelled pitch to
+    rare, and a degree one must fail with guidance (key-dependent ids)."""
+    me = MusicExport(mode='full', extractor_args=dict(with_pitch_step=True))
+    res = me(song_files, save_each=False)
+    songs = res['songs']
+    paths = json2dataset(songs, str(tmp_path / 'dsm'), test_frac=0.25,
+                         pitch_kind='midi')
+    train = SongDataset.load(paths['train'])
+    assert train.pitch_kind == 'midi' and len(train) == 3
+    with pytest.raises(ValueError, match='degree'):
+        json2dataset(songs, str(tmp_path / 'dsd'), pitch_kind='degree')
 
 
 def test_config_registry():
