@@ -32,7 +32,14 @@ def _cmd_extract(a) -> int:
     )
     paths: List[str] = []
     for s in a.songs:
-        hits = sorted(glob.glob(s, recursive=True)) if any(c in s for c in '*?[') else [s]
+        if any(c in s for c in '*?['):
+            hits = sorted(glob.glob(s, recursive=True))
+            if not hits and os.path.exists(s):
+                hits = [s]        # literal filename with bracket chars
+            elif not hits:
+                print(f'warning: pattern matched nothing: {s}', file=sys.stderr)
+        else:
+            hits = [s]
         paths.extend(hits)
     if not paths:
         print('no input songs matched', file=sys.stderr)
@@ -89,7 +96,14 @@ def _cmd_train(a) -> int:
     else:
         model, tok = get_model_n_tokenizer(
             a.model, a.size, pitch_kind=a.pitch_kind, max_length=a.max_length)
-        aug = dict(insert_key=a.insert_key, pitch_shift=a.insert_key,
+        insert_key = a.insert_key
+        if a.pitch_kind == 'degree' and not insert_key:
+            # degree pitch ids are key-conditioned; without the shift the
+            # step-kind corpus would index garbage degree tokens
+            print('note: --pitch-kind degree requires key augmentation; '
+                  'enabling --insert-key', file=sys.stderr)
+            insert_key = True
+        aug = dict(insert_key=insert_key, pitch_shift=insert_key,
                    channel_mixup=a.channel_mixup)
         train_ds = AugmentedDataset(train_sd, tok, dataset_split='train', **aug)
         eval_ds = (AugmentedDataset(eval_sd, tok, random_crop=False,
@@ -109,13 +123,28 @@ def _cmd_generate(a) -> int:
     model, params, tok = load_trained(a.model_dir)
     gen = MusicGenerator(model, tok, params, augment_key=a.key is not None,
                          out_dir=a.out)
-    strategy_args = {}
-    if a.top_k:
-        strategy_args['top_k'] = a.top_k
-    if a.top_p:
-        strategy_args['top_p'] = a.top_p
-    if a.temperature:
-        strategy_args['temperature'] = a.temperature
+    sampling = {k: v for k, v in dict(top_k=a.top_k, top_p=a.top_p,
+                                      temperature=a.temperature).items()
+                if v is not None}
+    if a.strategy == 'beam':
+        if sampling:
+            print(f'warning: beam search ignores {sorted(sampling)} '
+                  '(log-prob beams are deterministic)', file=sys.stderr)
+        strategy_args = dict(num_beams=a.num_beams,
+                             length_penalty=a.length_penalty)
+        if a.num_beam_groups > 1:
+            strategy_args.update(num_beam_groups=a.num_beam_groups,
+                                 diversity_penalty=a.diversity_penalty)
+    elif a.strategy == 'contrastive':
+        dropped = sorted(set(sampling) - {'top_k'})
+        if dropped:
+            print(f'warning: contrastive search ignores {dropped}',
+                  file=sys.stderr)
+        strategy_args = dict(penalty_alpha=a.penalty_alpha)
+        if a.top_k is not None:       # candidate count (HF semantics)
+            strategy_args['top_k'] = a.top_k
+    else:
+        strategy_args = sampling
     prompt_args = {}
     if a.key:
         prompt_args['key'] = a.key
@@ -176,9 +205,17 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument('--n', type=int, default=1)
     g.add_argument('--strategy', default='sample',
                    choices=['greedy', 'sample', 'beam', 'contrastive'])
-    g.add_argument('--top-k', type=int, default=0)
-    g.add_argument('--top-p', type=float, default=0.0)
-    g.add_argument('--temperature', type=float, default=0.0)
+    g.add_argument('--top-k', type=int, default=None,
+                   help='sample: top-k filter; contrastive: candidate count')
+    g.add_argument('--top-p', type=float, default=None)
+    g.add_argument('--temperature', type=float, default=None)
+    g.add_argument('--num-beams', type=int, default=4, help='beam strategy')
+    g.add_argument('--num-beam-groups', type=int, default=1,
+                   help='>1 = diverse-group beam search')
+    g.add_argument('--length-penalty', type=float, default=1.0)
+    g.add_argument('--diversity-penalty', type=float, default=1.0)
+    g.add_argument('--penalty-alpha', type=float, default=0.6,
+                   help='contrastive degeneration penalty')
     g.add_argument('--max-length', type=int, default=None)
     g.add_argument('--seed', type=int, default=None)
     g.add_argument('--key', help='prompt key for key-augmented models, e.g. CMajor')

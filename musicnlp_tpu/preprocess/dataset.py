@@ -185,6 +185,16 @@ class AugmentedDataset:
                 f'dataset pitch kind {src_kind!r} incompatible with '
                 f'{pk!r} tokenizer: materialize the dataset as step '
                 f'(remapped on the fly) or as the tokenizer kind')
+        if pk == 'degree' and src_kind == 'step' \
+                and not (insert_key and pitch_shift):
+            # without the key-conditioned shift, step ids would index
+            # valid-but-WRONG tokens of the degree vocab and train a garbage
+            # model with no diagnostic
+            raise ValueError(
+                "a degree-kind tokenizer over a step-kind dataset needs the "
+                "key-conditioned pitch shift: pass insert_key=True, "
+                "pitch_shift=True (CLI: train --insert-key), or use a "
+                "midi/step tokenizer")
 
         # dense tables compiled once (the whole augmentation chain becomes gathers)
         self._vocab_step = MusicVocabulary(pitch_kind='step')

@@ -243,7 +243,10 @@ def grid_decode(ids: Sequence[int], precision: int = 5,
     measures: List[Measure] = []
     prev_ts: Optional[TsTup] = None
     bar_off = Fraction(0)  # absolute bar start in QL (write_midi keys on it)
-    for num_bar, bids in enumerate(bars_ids):
+    num_bar = 0
+    for bids in bars_ids:
+        if len(bids) == 0:
+            continue    # consecutive/trailing SEP in a model-generated stream
         numer = Fraction(len(bids)) / slots_per_quarter
         assert numer.denominator == 1, 'bar length not a whole number of beats'
         ts: TsTup = (int(numer), 4)
@@ -295,6 +298,7 @@ def grid_decode(ids: Sequence[int], precision: int = 5,
             tempo=(tempo if num_bar == 0 else None), offset=bar_off))
         prev_ts = ts
         bar_off += len(bids) * slot
+        num_bar += 1
     part = Part(name='musicnlp_tpu, Piano, CH #1', measures=measures)
     return Score(title=title, parts=[part])
 

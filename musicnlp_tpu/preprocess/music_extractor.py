@@ -205,9 +205,10 @@ class MusicExtractor:
         self.verbose = verbose
         self.eps = epsilon
         self.with_pitch_step = with_pitch_step
-        # notation-marked sources (MusicXML) override arithmetic inference;
-        # set per song in __call__ from Score.source
-        self._infer_tuplets = True
+        # default for direct expand_bar/extract_notes calls; __call__ passes
+        # the per-song value (from Score.source) explicitly, so one extractor
+        # instance can serve concurrent songs without racing on shared state
+        self.infer_tuplets_default = True
         self.vocab = MusicVocabulary(
             precision=precision, pitch_kind='step' if with_pitch_step else 'midi')
         self.meta = dict(mode=mode, precision=precision, with_pitch_step=with_pitch_step,
@@ -255,7 +256,7 @@ class MusicExtractor:
         return [Note(pitch=p, duration=c.dur, offset=c.offset, velocity=c.velocity)
                 for p in c.pitches]
 
-    def _tuplet_run_class(self, elm) -> Optional[Tuple[str, int]]:
+    def _tuplet_run_class(self, elm, infer_tuplets: bool) -> Optional[Tuple[str, int]]:
         """(run-class name, n_tup) if this element starts/continues a tuplet run.
 
         MusicXML sources carry explicit <time-modification> notation; the run
@@ -269,27 +270,34 @@ class MusicExtractor:
         tm = getattr(elm, 'tm', None)
         if tm is not None:
             return tuplet_name(tm), tm[0]
-        if self._infer_tuplets:
+        if infer_tuplets:
             n = _tuplet_n(Fraction(elm.dur))
             if n > 1:
                 return f'inferred/{n}', n
         return None
 
     def expand_bar(self, elements: List, time_sig: TsTup, keep_chord: bool = False,
-                   number: int = None) -> List[ExtNote]:
+                   number: int = None,
+                   infer_tuplets: Optional[bool] = None) -> List[ExtNote]:
         """Flatten a bar's element stream into notes, grouping n-plets with repair
-        heuristics (reference expand_bar :163-419)."""
+        heuristics (reference expand_bar :163-419).
+
+        infer_tuplets: arithmetic tuplet inference for notation-less sources
+        (MIDI); None -> the constructor default.  MusicXML callers pass False
+        (explicit <time-modification> notation wins)."""
+        if infer_tuplets is None:
+            infer_tuplets = self.infer_tuplets_default
         lst: List[ExtNote] = []
         it = iter(elements)
         elm = next(it, None)
         while elm is not None:
-            run = self._tuplet_run_class(elm)
+            run = self._tuplet_run_class(elm, infer_tuplets)
             if run is not None:  # collect the run of same-class tuplet elements
                 name, n_tup = run
                 elms_tup: List[Union[Rest, Note, Chord]] = [elm]
                 elm_ = next(it, None)
                 while elm_ is not None:
-                    run_ = self._tuplet_run_class(elm_)
+                    run_ = self._tuplet_run_class(elm_, infer_tuplets)
                     if run_ is None or run_[0] != name:
                         break
                     elms_tup.append(elm_)
@@ -686,7 +694,9 @@ class MusicExtractor:
                                   filled_ranges=_filled_ranges(tup))
 
     def extract_notes(self, lst_bar_info: List[BarInfo],
-                      time_sigs: List[TsTup]) -> Dict[str, List[List[ExtNote]]]:
+                      time_sigs: List[TsTup],
+                      infer_tuplets: Optional[bool] = None,
+                      ) -> Dict[str, List[List[ExtNote]]]:
         lst_melody, lst_bass = [], []
         for i_bar, bi in enumerate(lst_bar_info):
             bars, time_sig = bi.bars, bi.time_sig
@@ -695,7 +705,8 @@ class MusicExtractor:
                 streams = [b.elements] if not b.voices else b.voices
                 for stream in streams:
                     all_notes += self.expand_bar(stream, time_sig, keep_chord=False,
-                                                 number=i_bar)
+                                                 number=i_bar,
+                                                 infer_tuplets=infer_tuplets)
             groups_melody: Dict = defaultdict(list)
             for n in all_notes:
                 groups_melody[get_offset(n)].append(n)
@@ -888,7 +899,7 @@ class MusicExtractor:
         song_for_key = song if return_key else None
         # MusicXML carries explicit tuplet notation (the reference's music21
         # `fullName` source); only duration-infer tuplets for MIDI/programmatic
-        self._infer_tuplets = getattr(song, 'source', '') != 'musicxml'
+        infer_tuplets = getattr(song, 'source', '') != 'musicxml'
 
         title = (song.title or 'untitled').removesuffix('.mxl').removesuffix('.musicxml')
         lst_bar_info = list(self.it_bars(song))
@@ -943,7 +954,8 @@ class MusicExtractor:
                           threshold=th, n_bar_total=len(time_sigs),
                           n_bar_mode=counter_ts[time_sig_mode])
 
-        d_notes = self.extract_notes(lst_bar_info, time_sigs)
+        d_notes = self.extract_notes(lst_bar_info, time_sigs,
+                                     infer_tuplets=infer_tuplets)
 
         if exp in ('score', 'mxl'):
             d_flat = {k: [list(flatten_notes(notes)) for notes in ln]
