@@ -148,7 +148,8 @@ def get_baseline(size: str, seq: int) -> float:
     return cache[key]['tokens_per_sec']
 
 
-def measure_decode_ours(size: str, gen_len: int, bsz: int) -> dict:
+def measure_decode_ours(size: str, gen_len: int, bsz: int,
+                        kv_quant: str = None) -> dict:
     """Batched sampling decode via the KV-ring scan; tokens/sec + p50 latency."""
     import jax
     import jax.numpy as jnp
@@ -157,7 +158,8 @@ def measure_decode_ours(size: str, gen_len: int, bsz: int) -> dict:
     from musicnlp_tpu.ops.sampling import SampleConfig, generate_scan
 
     cfg = TransfoXLConfig.from_size(size, vocab_size=1190, max_length=gen_len,
-                                    dtype='bfloat16')
+                                    dtype='bfloat16',
+                                    decode_cache_quant=kv_quant)
     model = TransfoXL(cfg)
     params = model.init(jax.random.PRNGKey(0))
     prompt = jax.random.randint(jax.random.PRNGKey(1), (bsz, 4), 8,
@@ -308,7 +310,8 @@ def measure_reformer_train_baseline(size: str, seq: int) -> float:
     return bsz * seq * steps / (time.perf_counter() - t0)
 
 
-def measure_reformer_decode(size: str, gen_len: int, bsz: int) -> dict:
+def measure_reformer_decode(size: str, gen_len: int, bsz: int,
+                            kv_quant: str = None) -> dict:
     """Incremental (bucket-cached) Reformer decode vs the exact-but-quadratic
     full-prefix re-forward oracle it replaced (round-1 capability gap)."""
     import jax
@@ -318,7 +321,8 @@ def measure_reformer_decode(size: str, gen_len: int, bsz: int) -> dict:
     from musicnlp_tpu.ops.sampling import SampleConfig, generate_scan
 
     cfg = ReformerConfig.from_size(size, vocab_size=422, max_length=gen_len,
-                                   dtype='bfloat16')
+                                   dtype='bfloat16',
+                                   decode_cache_quant=kv_quant)
     model = Reformer(cfg)
     params = model.init(jax.random.PRNGKey(0))
     prompt = jax.random.randint(jax.random.PRNGKey(1), (bsz, 4), 8,
@@ -424,7 +428,9 @@ def main():
             # full-cache stream turns bandwidth-bound past 128; 512 OOMs the
             # [n_lsh, B, N, H, L] caches).
             bsz = int(os.environ.get('BENCH_BSZ', 128))
-            r = measure_reformer_decode(size, gen_len, bsz)
+            kv = os.environ.get('BENCH_KV', 'int8')
+            r = measure_reformer_decode(size, gen_len, bsz,
+                                        kv_quant=None if kv == 'bf16' else kv)
             print(json.dumps(dict(
                 metric=f'reformer_{size}_decode_tokens_per_sec_per_chip',
                 value=round(r['tokens_per_sec'], 1), unit='tokens/sec/chip',
@@ -432,6 +438,7 @@ def main():
                 baseline='round-1 exact full-prefix re-forward decoder',
                 exact_oracle_tokens_per_sec=round(
                     r['exact_oracle_tokens_per_sec'], 2),
+                kv_cache=kv,
                 batch_latency_s=round(r['batch_latency_s'], 3))))
             return
         seq = int(os.environ.get('BENCH_SEQ', 2048))
@@ -481,12 +488,18 @@ def main():
                 measured_at=time.strftime('%Y-%m-%d %H:%M:%S'))
             with open(BASELINE_CACHE, 'w') as f:
                 json.dump(cache, f, indent=2)
-        ours = measure_decode_ours(size, gen_len, bsz)
+        # int8 KV ring cache (BENCH_KV=int8|bf16): the decode scan is
+        # bandwidth-bound streaming the cache, so int8 halves the traffic;
+        # per-row scales keep the attention math exact up to storage rounding
+        kv = os.environ.get('BENCH_KV', 'int8')
+        ours = measure_decode_ours(size, gen_len, bsz,
+                                   kv_quant=None if kv == 'bf16' else kv)
         print(json.dumps(dict(
             metric=f'tfxl_{size}_decode_tokens_per_sec_per_chip',
             value=round(ours['tokens_per_sec'], 1), unit='tokens/sec/chip',
             vs_baseline=round(ours['tokens_per_sec']
                               / cache[key]['tokens_per_sec'], 2),
+            kv_cache=kv,
             batch_latency_s=round(ours['batch_latency_s'], 3))))
         return
     seq = int(os.environ.get('BENCH_SEQ', 1024))

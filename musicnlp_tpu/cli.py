@@ -121,10 +121,17 @@ def _cmd_train(a) -> int:
 def _cmd_generate(a) -> int:
     from musicnlp_tpu.trainer.eval import MusicGenerator, load_trained
     model, params, tok = load_trained(a.model_dir)
+    if a.kv_cache != 'bf16' and hasattr(model.cfg, 'decode_cache_quant'):
+        import dataclasses
+        model = type(model)(dataclasses.replace(
+            model.cfg, decode_cache_quant=a.kv_cache))
     gen = MusicGenerator(model, tok, params, augment_key=a.key is not None,
                          out_dir=a.out)
     sampling = {k: v for k, v in dict(top_k=a.top_k, top_p=a.top_p,
-                                      temperature=a.temperature).items()
+                                      temperature=a.temperature,
+                                      typical_p=a.typical_p,
+                                      repetition_penalty=a.repetition_penalty,
+                                      ).items()
                 if v is not None}
     if a.strategy == 'beam':
         if sampling:
@@ -209,6 +216,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help='sample: top-k filter; contrastive: candidate count')
     g.add_argument('--top-p', type=float, default=None)
     g.add_argument('--temperature', type=float, default=None)
+    g.add_argument('--typical-p', type=float, default=None,
+                   help='sample: typical-decoding mass')
+    g.add_argument('--repetition-penalty', type=float, default=None,
+                   help='sample: penalty on already-emitted tokens (1 = off)')
     g.add_argument('--num-beams', type=int, default=4, help='beam strategy')
     g.add_argument('--num-beam-groups', type=int, default=1,
                    help='>1 = diverse-group beam search')
@@ -216,6 +227,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument('--diversity-penalty', type=float, default=1.0)
     g.add_argument('--penalty-alpha', type=float, default=0.6,
                    help='contrastive degeneration penalty')
+    g.add_argument('--kv-cache', default='bf16', choices=['bf16', 'int8'],
+                   help='decode KV-ring storage; int8 halves HBM traffic on '
+                        'the bandwidth-bound decode scan (TF-XL only)')
     g.add_argument('--max-length', type=int, default=None)
     g.add_argument('--seed', type=int, default=None)
     g.add_argument('--key', help='prompt key for key-augmented models, e.g. CMajor')

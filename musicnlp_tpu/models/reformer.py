@@ -30,6 +30,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from musicnlp_tpu.ops.attention import quantize_kv_rows
 from musicnlp_tpu.ops.chunked_attention import local_attention, lsh_attention
 from musicnlp_tpu.ops.layers import (
     Params, dense, dense_init, dropout, embedding_init, layer_norm,
@@ -80,6 +81,12 @@ class ReformerDecodeState(NamedTuple):
     lsh_ring: jnp.ndarray     # [n_lsh, B, N, R, NB*W] int32 positions ('bounded')
     lsh_cnt: jnp.ndarray      # [n_lsh, B, N, R, NB] int32 per-bucket writes
     step: jnp.ndarray         # int32 scalar: next write position
+    # per-position f32 scales when decode_cache_quant='int8' (lsh_k/lsh_v
+    # then store int8; the scan decode is HBM-streaming-bound, so int8
+    # halves its traffic; scales factor exactly out of both contractions --
+    # ops/attention.py::quantize_kv_rows).  None in the bf16 default.
+    lsh_k_scale: Optional[jnp.ndarray] = None   # [n_lsh, B, N, L]
+    lsh_v_scale: Optional[jnp.ndarray] = None   # [n_lsh, B, N, L]
 
 
 class ReformerExactDecodeState(NamedTuple):
@@ -130,6 +137,11 @@ class ReformerConfig:
     # the semantic model for a future sparse-friendly backend.
     decode_mode: str = 'scan'
     decode_window: int = 32
+    # int8 LSH decode caches ('scan' mode only): halves the streamed K/V
+    # traffic of the bandwidth-bound cache scan; per-position row scales
+    # keep the attention exact up to the int8 storage rounding.  Local
+    # rings stay at compute dtype (they are 2*chunk wide -- negligible).
+    decode_cache_quant: Optional[str] = None    # None | 'int8'
     # 'scan' streams the cache in CH-wide chunks with a DYNAMIC trip count
     # t//CH + 1 (only the live prefix is read); None = largest divisor of
     # max_length <= 512.  Must divide max_length.
@@ -375,10 +387,16 @@ class Reformer:
     def init_decode_state(self, batch_size: int) -> ReformerDecodeState:
         cfg = self.cfg
         assert cfg.decode_mode in ('bounded', 'scan'), cfg.decode_mode
+        quant = cfg.decode_cache_quant == 'int8'
+        assert not (quant and cfg.decode_mode == 'bounded'), \
+            "decode_cache_quant='int8' supports only decode_mode='scan' " \
+            "(the bounded gather path reads individual rows, not streams)"
         n_local, n_lsh = self._n_kind()
         B, N, H, L = batch_size, cfg.n_head, cfg.d_head, cfg.max_length
         R = cfg.n_hashes
         dt = cfg.compute_dtype
+        lsh_dt = jnp.int8 if quant else dt
+        scales = (jnp.zeros((n_lsh, B, N, L), jnp.float32) if quant else None)
         if cfg.decode_mode == 'bounded':
             nb = cfg.n_buckets or _auto_buckets(L, cfg.lsh_chunk)
             buckets = jnp.zeros((n_lsh, B, 1, 1, 1), jnp.int32)   # unused
@@ -392,18 +410,21 @@ class Reformer:
         return ReformerDecodeState(
             local_k=jnp.zeros((n_local, B, N, H, 2 * cfg.local_chunk), dt),
             local_v=jnp.zeros((n_local, B, N, H, 2 * cfg.local_chunk), dt),
-            lsh_k=jnp.zeros((n_lsh, B, N, H, L), dt),
-            lsh_v=jnp.zeros((n_lsh, B, N, H, L), dt),
+            lsh_k=jnp.zeros((n_lsh, B, N, H, L), lsh_dt),
+            lsh_v=jnp.zeros((n_lsh, B, N, H, L), lsh_dt),
             lsh_buckets=buckets, lsh_ring=ring, lsh_cnt=cnt,
-            step=jnp.zeros((), jnp.int32))
+            step=jnp.zeros((), jnp.int32),
+            lsh_k_scale=scales, lsh_v_scale=scales)
 
     def reorder_decode_state(self, state: ReformerDecodeState, idx):
         """Gather the batch axis (axis 1 of every cache leaf) -- for beam."""
+        sel = lambda x: None if x is None else x[:, idx]
         return ReformerDecodeState(
             state.local_k[:, idx], state.local_v[:, idx],
             state.lsh_k[:, idx], state.lsh_v[:, idx],
             state.lsh_buckets[:, idx], state.lsh_ring[:, idx],
-            state.lsh_cnt[:, idx], state.step)
+            state.lsh_cnt[:, idx], state.step,
+            sel(state.lsh_k_scale), sel(state.lsh_v_scale))
 
     def _pos_emb_row(self, params: Params, t, dtype) -> jnp.ndarray:
         cfg = self.cfg
@@ -438,6 +459,8 @@ class Reformer:
         lk, lv = state.local_k, state.local_v
         sk, sv, sb = state.lsh_k, state.lsh_v, state.lsh_buckets
         ring, cnt = state.lsh_ring, state.lsh_cnt
+        sks, svs = state.lsh_k_scale, state.lsh_v_scale
+        quant = sks is not None
         il = ish = 0
         for li, layer in enumerate(params['layers']):
             p = layer['attn']
@@ -479,10 +502,19 @@ class Reformer:
                 kn = (qf * jax.lax.rsqrt(
                     jnp.mean(qf * qf, axis=-1, keepdims=True) + 1e-6)
                     * (1.0 / (cfg.d_head ** 0.5))).astype(dtype)
+                if quant:
+                    kn_w, k_sc = quantize_kv_rows(kn)         # int8 [B,N,H], [B,N]
+                    v_w, v_sc = quantize_kv_rows(v)
+                    sks = jax.lax.dynamic_update_slice(
+                        sks, k_sc[None, ..., None], (ish, 0, 0, t))
+                    svs = jax.lax.dynamic_update_slice(
+                        svs, v_sc[None, ..., None], (ish, 0, 0, t))
+                else:
+                    kn_w, v_w = kn, v
                 sk = jax.lax.dynamic_update_slice(
-                    sk, kn[None, ..., None], (ish, 0, 0, 0, t))  # [n,B,N,H,L]
+                    sk, kn_w[None, ..., None], (ish, 0, 0, 0, t))  # [n,B,N,H,L]
                 sv = jax.lax.dynamic_update_slice(
-                    sv, v[None, ..., None], (ish, 0, 0, 0, t))
+                    sv, v_w[None, ..., None], (ish, 0, 0, 0, t))
                 nb = cfg.n_buckets or _auto_buckets(L, cfg.lsh_chunk)
                 rot = jax.random.fold_in(jax.random.PRNGKey(cfg.lsh_seed), li)
                 rots = jax.random.normal(
@@ -518,6 +550,8 @@ class Reformer:
                     N, H = q.shape[1], q.shape[2]
                     bt = b_t.transpose(1, 2, 0)               # [B, N, R]
                     sk_l, sv_l, sb_l = sk[ish], sv[ish], sb[ish]
+                    if quant:
+                        sks_l, svs_l = sks[ish], svs[ish]     # [B, N, L] f32
 
                     def chunk_body(j, carry):
                         m_run, l_run, acc = carry
@@ -530,8 +564,11 @@ class Reformer:
                             sb_l, (0, 0, 0, off), (B, N, R, CH))
                         pos = off + jnp.arange(CH)
                         sc0 = jnp.einsum(
-                            'bnh,bnhl->bnl', q, ks,
+                            'bnh,bnhl->bnl', q, ks.astype(dtype),
                             preferred_element_type=jnp.float32)  # keys carry scale
+                        if quant:   # fold the int8 row scales back in
+                            sc0 = sc0 * jax.lax.dynamic_slice(
+                                sks_l, (0, 0, off), (B, N, CH))
                         sc0 = jnp.where((pos == t)[None, None],
                                         sc0 + SELF_BIAS, sc0)
                         mask = (pos <= t)[None, None, None] & \
@@ -545,8 +582,12 @@ class Reformer:
                         p = jnp.where(mask, jnp.exp(sc - m_new[..., None]), 0.0)
                         alpha = jnp.exp(m_run - m_new)
                         l_run = l_run * alpha + jnp.sum(p, axis=-1)
+                        pv = p
+                        if quant:   # fold v scales into the probabilities
+                            pv = p * jax.lax.dynamic_slice(
+                                svs_l, (0, 0, off), (B, N, CH))[:, :, None]
                         acc = acc * alpha[..., None] + jnp.einsum(
-                            'bnrl,bnhl->bnrh', p.astype(dtype), vs,
+                            'bnrl,bnhl->bnrh', pv.astype(dtype), vs.astype(dtype),
                             preferred_element_type=jnp.float32)
                         return m_new, l_run, acc
 
@@ -585,7 +626,7 @@ class Reformer:
                          preferred_element_type=jnp.float32)
         logits = logits + params['lm_head']['b'].astype(jnp.float32)
         return logits, h, ReformerDecodeState(lk, lv, sk, sv, sb, ring, cnt,
-                                              t + 1)
+                                              t + 1, sks, svs)
 
     def _lsh_attend_bounded(self, q, sk, sv, ring, cnt, b_t, t, chunk_start,
                             ish, nb, NEG_INF, SELF_BIAS):
@@ -667,11 +708,12 @@ class Reformer:
     def expand_decode_state(state: ReformerDecodeState, k: int) -> ReformerDecodeState:
         """Repeat the batch axis (axis 1 of every cache leaf) k times -- for
         contrastive candidate expansion."""
-        rep = lambda x: jnp.repeat(x, k, axis=1)
+        rep = lambda x: None if x is None else jnp.repeat(x, k, axis=1)
         return ReformerDecodeState(rep(state.local_k), rep(state.local_v),
                                    rep(state.lsh_k), rep(state.lsh_v),
                                    rep(state.lsh_buckets), rep(state.lsh_ring),
-                                   rep(state.lsh_cnt), state.step)
+                                   rep(state.lsh_cnt), state.step,
+                                   rep(state.lsh_k_scale), rep(state.lsh_v_scale))
 
     def select_decode_state(self, state: ReformerDecodeState, idx):
         return self.reorder_decode_state(state, idx)

@@ -27,7 +27,9 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from musicnlp_tpu.ops.attention import rel_attn, rel_attn_decode_step, rel_attn_init
+from musicnlp_tpu.ops.attention import (
+    quantize_kv_rows, rel_attn, rel_attn_decode_step, rel_attn_init,
+)
 from musicnlp_tpu.ops.layers import (
     Params, embedding_init, ffn, ffn_init, dropout,
 )
@@ -79,6 +81,12 @@ class TransfoXLConfig:
     # sampling compose unchanged.  Natively-trained models keep None (the
     # dense tied head is faster on TPU at every vocab this project uses).
     adaptive_cutoffs: Optional[Tuple[int, ...]] = None
+    # int8 decode KV cache: the decode step is HBM-bandwidth-bound streaming
+    # the [L, B, M, N, H] ring buffers (e.g. ~2.4 GB/step at base/256-way in
+    # bf16); per-(slot, head) symmetric int8 storage halves that traffic and
+    # the row scales factor exactly out of both attention contractions
+    # (ops/attention.py::quantize_kv_rows).  Training is unaffected.
+    decode_cache_quant: Optional[str] = None    # None | 'int8'
     # sliding attention window (keys with distance >= attn_window are
     # masked).  The reference leaves HF's `same_length=True` DEFAULT, so
     # its models actually train AND decode with a fixed mem_len-wide
@@ -130,10 +138,13 @@ class TransfoXLConfig:
 
 class DecodeState(NamedTuple):
     """Per-step autoregressive decode state (all fixed shapes)."""
-    cache_k: jnp.ndarray    # [L, B, M, N, H]
+    cache_k: jnp.ndarray    # [L, B, M, N, H] compute dtype, or int8 (quant)
     cache_v: jnp.ndarray    # [L, B, M, N, H]
     cache_pos: jnp.ndarray  # int32 [M]  absolute position per slot, -1 empty
     step: jnp.ndarray       # int32 scalar
+    # per-row f32 scales when decode_cache_quant='int8', else None
+    k_scale: Optional[jnp.ndarray] = None   # [L, B, M, N]
+    v_scale: Optional[jnp.ndarray] = None   # [L, B, M, N]
 
 
 class TransfoXL:
@@ -456,11 +467,15 @@ class TransfoXL:
     def init_decode_state(self, batch_size: int) -> DecodeState:
         cfg = self.cfg
         shape = (cfg.n_layer, batch_size, cfg.mem_len, cfg.n_head, cfg.d_head)
+        quant = cfg.decode_cache_quant == 'int8'
+        cache_dt = jnp.int8 if quant else cfg.compute_dtype
+        scales = (jnp.zeros(shape[:-1], jnp.float32) if quant else None)
         return DecodeState(
-            cache_k=jnp.zeros(shape, cfg.compute_dtype),
-            cache_v=jnp.zeros(shape, cfg.compute_dtype),
+            cache_k=jnp.zeros(shape, cache_dt),
+            cache_v=jnp.zeros(shape, cache_dt),
             cache_pos=jnp.full((cfg.mem_len,), -1, jnp.int32),
             step=jnp.zeros((), jnp.int32),
+            k_scale=scales, v_scale=scales,
         )
 
     def decode_step(
@@ -485,11 +500,22 @@ class TransfoXL:
         h = h * jnp.asarray(emb_scale, dtype)
 
         ck, cv = state.cache_k, state.cache_v
+        ks, vs = state.k_scale, state.v_scale
+        quant = ks is not None
         for li, layer in enumerate(params['layers']):
             h, k_cur, v_cur = rel_attn_decode_step(
                 layer['attn'], h, ck[li], cv[li], state.cache_pos, state.step,
                 clamp_len=cfg.clamp_len, pre_lnorm=cfg.pre_lnorm,
-                window=cfg.attn_window)
+                window=cfg.attn_window,
+                cache_k_scale=ks[li] if quant else None,
+                cache_v_scale=vs[li] if quant else None)
+            if quant:
+                k_cur, k_sc = quantize_kv_rows(k_cur)
+                v_cur, v_sc = quantize_kv_rows(v_cur)
+                ks = jax.lax.dynamic_update_slice(
+                    ks, k_sc[None], (li, 0, slot, 0))
+                vs = jax.lax.dynamic_update_slice(
+                    vs, v_sc[None], (li, 0, slot, 0))
             ck = jax.lax.dynamic_update_slice(
                 ck, k_cur[None], (li, 0, slot, 0, 0))
             cv = jax.lax.dynamic_update_slice(
@@ -498,20 +524,24 @@ class TransfoXL:
 
         logits = self._lm_head(params, h)[:, 0]
         new_pos = state.cache_pos.at[slot].set(state.step)
-        return logits, h[:, 0], DecodeState(ck, cv, new_pos, state.step + 1)
+        return logits, h[:, 0], DecodeState(ck, cv, new_pos, state.step + 1,
+                                            ks, vs)
 
     # state helpers for beam / contrastive search (batch axis of the caches
     # is axis 1; positions/step are shared across the batch)
     @staticmethod
     def expand_decode_state(state: DecodeState, k: int) -> DecodeState:
-        return DecodeState(jnp.repeat(state.cache_k, k, axis=1),
-                           jnp.repeat(state.cache_v, k, axis=1),
-                           state.cache_pos, state.step)
+        rep = lambda x: None if x is None else jnp.repeat(x, k, axis=1)
+        return DecodeState(rep(state.cache_k), rep(state.cache_v),
+                           state.cache_pos, state.step,
+                           rep(state.k_scale), rep(state.v_scale))
 
     @staticmethod
     def select_decode_state(state: DecodeState, idx: jnp.ndarray) -> DecodeState:
-        return DecodeState(state.cache_k[:, idx], state.cache_v[:, idx],
-                           state.cache_pos, state.step)
+        sel = lambda x: None if x is None else x[:, idx]
+        return DecodeState(sel(state.cache_k), sel(state.cache_v),
+                           state.cache_pos, state.step,
+                           sel(state.k_scale), sel(state.v_scale))
 
     # alias under the generic name MusicGenerator looks up on any model
     reorder_decode_state = select_decode_state

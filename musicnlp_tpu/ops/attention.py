@@ -26,7 +26,23 @@ from musicnlp_tpu.ops.layers import (
     Params, layer_norm, layer_norm_init, sinusoid_pos_emb, dropout,
 )
 
-__all__ = ['rel_attn_init', 'rel_attn', 'rel_attn_decode_step', 'rel_shift']
+__all__ = ['rel_attn_init', 'rel_attn', 'rel_attn_decode_step', 'rel_shift',
+           'quantize_kv_rows']
+
+
+def quantize_kv_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row int8 quantization over the LAST axis (d_head).
+
+    Returns (q int8 same shape, scale f32 without the last axis).  Decode KV
+    ring caches are pure HBM-bandwidth (the decode step streams the whole
+    [L, B, M, N, H] cache per token); a per-(slot, head) scale factors EXACTLY
+    out of both attention contractions -- scores over the head axis
+    (q . s*K = s * (q . K)) and the value sum over slots (p . s*V = (p*s) . V)
+    -- so int8 storage halves decode traffic with no extra matmuls."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.round(x.astype(jnp.float32) / scale).astype(jnp.int8)
+    return q, scale[..., 0]
 
 NEG_INF = -1e30
 
@@ -164,6 +180,8 @@ def rel_attn_decode_step(
         cache_pos: jnp.ndarray, step: jnp.ndarray, *, clamp_len: int = -1,
         pre_lnorm: bool = False, scale: Optional[float] = None,
         window: Optional[int] = None,
+        cache_k_scale: Optional[jnp.ndarray] = None,
+        cache_v_scale: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Single-token decode attention against a KV ring-buffer cache.
 
@@ -186,7 +204,11 @@ def rel_attn_decode_step(
         einsum re-projection.
 
     x:         [B, 1, d_model] current token hidden (input to this layer).
-    cache_k/v: [B, M, n_head, d_head] ring buffers.
+    cache_k/v: [B, M, n_head, d_head] ring buffers.  May be int8 (from
+               `quantize_kv_rows`), in which case cache_k_scale/cache_v_scale
+               carry the per-row f32 scales [B, M, n_head]; the scales factor
+               exactly out of the contractions, so the math is the quantized
+               cache's exact attention (only the storage rounds).
     cache_pos: int32[M] absolute position per slot (-1 = empty).
     step:      scalar int32 absolute position of the current token.
     Returns (out [B,1,d], k_cur [B,1,N,H], v_cur [B,1,N,H]); the caller writes
@@ -219,6 +241,8 @@ def rel_attn_decode_step(
     kc = cache_k.astype(dtype)
     AC = jnp.einsum('bqnh,bknh->bnqk', rw, kc,
                     preferred_element_type=jnp.float32)                  # [B,N,1,M]
+    if cache_k_scale is not None:       # fold the int8 row scales back in
+        AC = AC * cache_k_scale.transpose(0, 2, 1)[:, :, None, :]
     BD = jnp.einsum('bqnh,knh->bnqk', rr, r_head,
                     preferred_element_type=jnp.float32)
     score_c = (AC + BD) * scale
@@ -233,7 +257,10 @@ def rel_attn_decode_step(
     score = jnp.concatenate([score_c, s_self], axis=-1)                  # [B,N,1,M+1]
 
     probs = jax.nn.softmax(score, axis=-1).astype(dtype)
-    ctx = jnp.einsum('bnqk,bknh->bqnh', probs[..., :M], cache_v.astype(dtype),
+    p_mem = probs[..., :M]
+    if cache_v_scale is not None:       # fold scales into the probabilities
+        p_mem = p_mem * cache_v_scale.transpose(0, 2, 1)[:, :, None, :].astype(dtype)
+    ctx = jnp.einsum('bnqk,bknh->bqnh', p_mem, cache_v.astype(dtype),
                      preferred_element_type=jnp.float32)
     p_self = probs[..., M].transpose(0, 2, 1)[..., None]     # [B,1,N,1]
     ctx = (ctx + p_self.astype(jnp.float32)

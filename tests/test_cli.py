@@ -51,9 +51,62 @@ def test_cli_end_to_end(tmp_path):
     rc = main(['generate', '--model-dir', f'{base}/run', '--out',
                f'{base}/gen', '--n', '1', '--strategy', 'sample',
                '--top-k', '8', '--seed', '7', '--key', 'CMajor',
+               '--typical-p', '0.95', '--repetition-penalty', '1.1',
                '--max-length', '48'])
     assert rc == 0
     assert glob.glob(f'{base}/gen/*.mxl') and glob.glob(f'{base}/gen/*.mid')
+
+    # the beam/contrastive arg plumbing, reusing the trained run
+    rc = main(['generate', '--model-dir', f'{base}/run', '--out',
+               f'{base}/gen_beam', '--n', '1', '--strategy', 'beam',
+               '--num-beams', '3', '--length-penalty', '0.9',
+               '--temperature', '0.7',  # warned + ignored by beams
+               '--key', 'CMajor', '--max-length', '48'])
+    assert rc == 0
+    assert glob.glob(f'{base}/gen_beam/*.mid')
+    rc = main(['generate', '--model-dir', f'{base}/run', '--out',
+               f'{base}/gen_dbs', '--n', '1', '--strategy', 'beam',
+               '--num-beams', '4', '--num-beam-groups', '2',
+               '--diversity-penalty', '0.8',
+               '--key', 'CMajor', '--max-length', '48'])
+    assert rc == 0
+    assert glob.glob(f'{base}/gen_dbs/*.mid')
+    rc = main(['generate', '--model-dir', f'{base}/run', '--out',
+               f'{base}/gen_ctr', '--n', '1', '--strategy', 'contrastive',
+               '--penalty-alpha', '0.5', '--top-k', '4',
+               '--key', 'CMajor', '--max-length', '48'])
+    assert rc == 0
+    assert glob.glob(f'{base}/gen_ctr/*.mid')
+    rc = main(['generate', '--model-dir', f'{base}/run', '--out',
+               f'{base}/gen_q', '--n', '1', '--strategy', 'sample',
+               '--top-k', '8', '--seed', '7', '--kv-cache', 'int8',
+               '--key', 'CMajor', '--max-length', '48'])
+    assert rc == 0
+    assert glob.glob(f'{base}/gen_q/*.mid')
+
+
+def test_cli_train_degree_auto_insert_key(tmp_path, capsys):
+    """--pitch-kind degree without --insert-key must auto-enable the
+    key-conditioned shift rather than train a garbage model."""
+    base = str(tmp_path)
+    goldens = sorted(glob.glob(os.path.join(GOLDEN_DIR, 'golden*.musicxml')))
+    import shutil
+    inputs = []
+    for i, g in enumerate(goldens * 2):
+        p = f'{base}/in_{i}.musicxml'
+        shutil.copy(g, p)
+        inputs.append(p)
+    assert main(['extract', *inputs, '--out', f'{base}/json',
+                 '--combine', f'{base}/combined.json']) == 0
+    assert main(['dataset', f'{base}/combined.json', '--out', f'{base}/ds',
+                 '--test-frac', '0.2', '--pitch-kind', 'step']) == 0
+    rc = main(['train', '--dataset', f'{base}/ds', '--out', f'{base}/run',
+               '--model', 'transf-xl', '--size', 'debug',
+               '--pitch-kind', 'degree', '--epochs', '1',
+               '--batch-size', '8'])   # note: no --insert-key
+    assert rc == 0
+    assert os.path.exists(f'{base}/run/trained.npz')
+    assert 'enabling --insert-key' in capsys.readouterr().err
 
 
 def test_extract_resume_counts(tmp_path):

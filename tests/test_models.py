@@ -105,6 +105,40 @@ def test_decode_matches_forward(tiny):
                                   np.asarray(jnp.argmax(logits, -1)))
 
 
+def test_decode_int8_cache_matches_dense(tiny):
+    """decode_cache_quant='int8' tracks the dense-cache decode closely and
+    survives ring wrap + beam expand/select (per-row scales factor exactly
+    out of the contractions, so the only error is the int8 rounding)."""
+    model, params = tiny
+    import dataclasses
+    qcfg = dataclasses.replace(model.cfg, decode_cache_quant='int8')
+    qmodel = TransfoXL(qcfg)
+    B, T = 2, 40  # > mem_len=32: exercises the wrapped ring too
+    ids = jax.random.randint(jax.random.PRNGKey(11), (B, T), 0, 128)
+    st_d = model.init_decode_state(B)
+    st_q = qmodel.init_decode_state(B)
+    assert st_q.cache_k.dtype == jnp.int8 and st_q.k_scale is not None
+    step_d = jax.jit(model.decode_step)
+    step_q = jax.jit(qmodel.decode_step)
+    agree = 0
+    for t in range(T):
+        lg_d, st_d = step_d(params, ids[:, t], st_d)
+        lg_q, st_q = step_q(params, ids[:, t], st_q)
+        # probabilities must be close step by step
+        pd = jax.nn.softmax(lg_d, -1)
+        pq = jax.nn.softmax(lg_q, -1)
+        assert float(jnp.max(jnp.abs(pd - pq))) < 0.02, f'step {t}'
+        agree += int(np.all(np.asarray(jnp.argmax(lg_d, -1))
+                            == np.asarray(jnp.argmax(lg_q, -1))))
+    assert agree >= T - 2  # greedy choice essentially unchanged
+
+    # beam-state helpers carry the scale buffers
+    ex = TransfoXL.expand_decode_state(st_q, 2)
+    assert ex.k_scale.shape[1] == 2 * B
+    sel = TransfoXL.select_decode_state(ex, jnp.array([0, 3]))
+    assert sel.v_scale.shape[1] == 2
+
+
 def test_decode_ring_wraps(tiny):
     """Decoding past mem_len keeps running (window attention) without error."""
     model, params = tiny

@@ -446,6 +446,44 @@ def test_reformer_bounded_decode_truncated_quality():
     assert mean_b < 2.0 * max(mean_s, 1e-3), (mean_b, mean_s)
 
 
+def test_reformer_scan_decode_int8_cache_close():
+    """decode_cache_quant='int8' (scan mode) tracks the bf16-cache decode
+    closely: the per-position row scales factor exactly out of the score and
+    value contractions, so the only error is the int8 storage rounding."""
+    kw = dict(vocab_size=96, dtype='float32', local_chunk=16, lsh_chunk=16,
+              max_length=128, n_hashes=2, dropout=0.0, decode_scan_chunk=32)
+    cd = ReformerConfig.from_size('debug', **kw)
+    cq = ReformerConfig.from_size('debug', decode_cache_quant='int8', **kw)
+    md, mq = Reformer(cd), Reformer(cq)
+    params = md.init(jax.random.PRNGKey(5))
+    B, T = 2, 96  # > several chunks: exercises cross-chunk streaming + scales
+    ids = jax.random.randint(jax.random.PRNGKey(11), (B, T), 2, 96)
+    sd, sq = md.init_decode_state(B), mq.init_decode_state(B)
+    assert sq.lsh_k.dtype == jnp.int8 and sq.lsh_k_scale is not None
+    stepd, stepq = jax.jit(md.decode_step), jax.jit(mq.decode_step)
+    agree = 0
+    for t in range(T):
+        ld, sd = stepd(params, ids[:, t], sd)
+        lq, sq = stepq(params, ids[:, t], sq)
+        pd, pq = jax.nn.softmax(ld, -1), jax.nn.softmax(lq, -1)
+        assert float(jnp.max(jnp.abs(pd - pq))) < 0.02, f'step {t}'
+        agree += int(np.all(np.asarray(jnp.argmax(ld, -1))
+                            == np.asarray(jnp.argmax(lq, -1))))
+    assert agree >= T - 4
+
+    # beam/contrastive state helpers carry the scale buffers
+    ex = Reformer.expand_decode_state(sq, 2)
+    assert ex.lsh_k_scale.shape[1] == 2 * B
+    sel = mq.select_decode_state(ex, jnp.array([0, 3]))
+    assert sel.lsh_v_scale.shape[1] == 2
+
+    # bounded mode + quant is rejected
+    cb = ReformerConfig.from_size('debug', decode_mode='bounded',
+                                  decode_cache_quant='int8', **kw)
+    with pytest.raises(AssertionError):
+        Reformer(cb).init_decode_state(1)
+
+
 def test_reformer_scan_decode_chunked_streaming_exact():
     """The prefix-streaming fori_loop attend (decode_scan_chunk < max_length,
     per-round online softmax across chunk boundaries) must produce the SAME
