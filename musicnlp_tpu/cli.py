@@ -228,8 +228,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument('--penalty-alpha', type=float, default=0.6,
                    help='contrastive degeneration penalty')
     g.add_argument('--kv-cache', default='bf16', choices=['bf16', 'int8'],
-                   help='decode KV-ring storage; int8 halves HBM traffic on '
-                        'the bandwidth-bound decode scan (TF-XL only)')
+                   help='decode KV-cache storage; int8 halves HBM traffic on '
+                        'the bandwidth-bound decode scan (TF-XL ring and '
+                        "Reformer 'scan'-mode LSH caches)")
     g.add_argument('--max-length', type=int, default=None)
     g.add_argument('--seed', type=int, default=None)
     g.add_argument('--key', help='prompt key for key-augmented models, e.g. CMajor')

@@ -77,7 +77,7 @@ class ReformerDecodeState(NamedTuple):
     local_v: jnp.ndarray      # [n_local, B, N, H, 2c]
     lsh_k: jnp.ndarray        # [n_lsh, B, N, H, L] normalized keys
     lsh_v: jnp.ndarray        # [n_lsh, B, N, H, L]
-    lsh_buckets: jnp.ndarray  # [n_lsh, B, N, R, L] int32, -1 = unwritten ('scan')
+    lsh_buckets: jnp.ndarray  # [n_lsh, B, N, R, L] int16, -1 = unwritten ('scan')
     lsh_ring: jnp.ndarray     # [n_lsh, B, N, R, NB*W] int32 positions ('bounded')
     lsh_cnt: jnp.ndarray      # [n_lsh, B, N, R, NB] int32 per-bucket writes
     step: jnp.ndarray         # int32 scalar: next write position
@@ -404,7 +404,12 @@ class Reformer:
                             jnp.int32)
             cnt = jnp.zeros((n_lsh, B, N, R, nb), jnp.int32)
         else:
-            buckets = jnp.full((n_lsh, B, N, R, L), -1, jnp.int32)
+            # int16: bucket ids < n_buckets (~2L/chunk << 32767 at any real
+            # config; asserted) and -1 sentinel fit, and the bucket stream is
+            # pure bandwidth alongside K/V -- int16 halves it, exactly
+            nb = cfg.n_buckets or _auto_buckets(L, cfg.lsh_chunk)
+            assert nb < 32767, nb
+            buckets = jnp.full((n_lsh, B, N, R, L), -1, jnp.int16)
             ring = jnp.zeros((n_lsh, B, 1, 1, 1), jnp.int32)      # unused
             cnt = jnp.zeros((n_lsh, B, 1, 1, 1), jnp.int32)
         return ReformerDecodeState(
@@ -532,7 +537,8 @@ class Reformer:
                     # one [B, N, R] write per step (not R scatters); cache
                     # layout keeps L minor (R-minor would lane-pad 2 -> 128)
                     sb = jax.lax.dynamic_update_slice(
-                        sb, b_t.transpose(1, 2, 0)[None, :, :, :, None],
+                        sb, b_t.transpose(1, 2, 0)[None, :, :, :, None]
+                        .astype(sb.dtype),
                         (ish, 0, 0, 0, t))                    # [n, B, N, R, L]
                     # Stream only the LIVE prefix: a fori_loop with DYNAMIC
                     # trip count t//CH + 1 over CH-wide cache chunks, exact
@@ -548,7 +554,9 @@ class Reformer:
                         d for d in range(min(512, L), 0, -1) if L % d == 0)
                     assert L % CH == 0, (CH, L)
                     N, H = q.shape[1], q.shape[2]
-                    bt = b_t.transpose(1, 2, 0)               # [B, N, R]
+                    # cast the SMALL side of the bucket compare to the cache
+                    # dtype (int16) so the streamed bs chunks never upcast
+                    bt = b_t.transpose(1, 2, 0).astype(sb.dtype)  # [B, N, R]
                     sk_l, sv_l, sb_l = sk[ish], sv[ish], sb[ish]
                     if quant:
                         sks_l, svs_l = sks[ish], svs[ish]     # [B, N, L] f32
