@@ -320,9 +320,11 @@ def measure_reformer_decode(size: str, gen_len: int, bsz: int,
     from musicnlp_tpu.models.reformer import Reformer, ReformerConfig
     from musicnlp_tpu.ops.sampling import SampleConfig, generate_scan
 
+    scan_chunk = int(os.environ.get('BENCH_SCAN_CHUNK', 0)) or None
     cfg = ReformerConfig.from_size(size, vocab_size=422, max_length=gen_len,
                                    dtype='bfloat16',
-                                   decode_cache_quant=kv_quant)
+                                   decode_cache_quant=kv_quant,
+                                   decode_scan_chunk=scan_chunk)
     model = Reformer(cfg)
     params = model.init(jax.random.PRNGKey(0))
     prompt = jax.random.randint(jax.random.PRNGKey(1), (bsz, 4), 8,
