@@ -26,6 +26,72 @@ from functools import partial
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, 'baseline_ref.json')
 
+# measured chip calibration: ~110 TFLOP/s bf16 on an 8192^3 matmul (CLAUDE.md)
+CHIP_PEAK_TFLOPS = 110.0
+
+
+def _env_int(name: str, default: int) -> int:
+    """Parse an integer env knob; tolerate empty/garbage values (ADVICE r3)."""
+    v = os.environ.get(name)
+    if v is None or not v.strip():
+        return default
+    try:
+        return int(v)
+    except ValueError:
+        raise SystemExit(f'bench: {name}={v!r} is not an integer')
+
+
+def tfxl_train_flops_per_token(size: str, seq: int, vocab_size: int) -> float:
+    """Analytic train FLOPs/token for the TF-XL step (fwd+bwd = 3x fwd).
+
+    Matmul params: per layer QKV (3d^2) + out (d^2) + rel-pos r proj (d^2)
+    + FFN (8d^2) = 13d^2; tied head V*d.  Fwd+bwd over params = 6P/token.
+    Attention contractions (not in P): per query the AC score, the BD
+    rel-pos score, and the AV sum each cost 2*ctx*d fwd, ctx = average
+    causally-attended length = (seq+1)/2 (bench runs n_seg=1, no mems)
+    clamped by attn_window when set -> 18 * n_layer * ctx * d per token
+    for the train step.
+    """
+    from musicnlp_tpu.models.transformer_xl import TransfoXLConfig
+    cfg = TransfoXLConfig.from_size(size, vocab_size=vocab_size,
+                                    max_length=seq)
+    d, nl = cfg.d_model, cfg.n_layer
+    ctx = (seq + 1) / 2
+    if cfg.attn_window:
+        ctx = min(ctx, cfg.attn_window)
+    p_matmul = nl * 13 * d * d + vocab_size * d
+    return 6.0 * p_matmul + 18.0 * nl * ctx * d
+
+
+def reformer_train_flops_per_token(size: str, seq: int,
+                                   vocab_size: int) -> float:
+    """Analytic train FLOPs/token for the Reformer step (fwd+bwd = 3x fwd).
+
+    Matmuls: local layer 3d^2 (qkv) + d^2 (out), LSH layer 2d^2 (shared
+    qk + v) + d^2 (out), FFN 8d^2 each; tied head V*d.  Attention
+    contractions: local attends ~2*local_chunk per query; LSH attends
+    ~2*lsh_chunk per hash round (n_hashes rounds); score+AV = 4*cols*d
+    fwd each.  Hashing: d x (n_hashes * n_buckets/2) matmul per LSH query.
+    """
+    from musicnlp_tpu.models.reformer import ReformerConfig, _auto_buckets
+    cfg = ReformerConfig.from_size(size, vocab_size=vocab_size,
+                                   max_length=seq)
+    d = cfg.d_model
+    n_local = sum(1 for k in cfg.attn_layers if k == 'local')
+    n_lsh = len(cfg.attn_layers) - n_local
+    nb = cfg.n_buckets or _auto_buckets(seq, cfg.lsh_chunk)
+    p_matmul = (n_local * (4 + 8) + n_lsh * (3 + 8)) * d * d + vocab_size * d
+    fwd_attn = (n_local * 4 * (2 * cfg.local_chunk) * d
+                + n_lsh * (cfg.n_hashes * 4 * (2 * cfg.lsh_chunk) * d
+                           + 2 * d * cfg.n_hashes * nb / 2))
+    return 6.0 * p_matmul + 3.0 * fwd_attn
+
+
+def mfu_fields(tokens_per_sec: float, flops_per_token: float) -> dict:
+    tf = tokens_per_sec * flops_per_token / 1e12
+    return dict(tflops_per_sec=round(tf, 2),
+                mfu_vs_110tf=round(tf / CHIP_PEAK_TFLOPS, 3))
+
 
 def measure_ours(size: str, seq: int, bsz: int, steps: int,
                  vocab_size: int = 1190, head_chunk: int = None) -> float:
@@ -320,7 +386,10 @@ def measure_reformer_decode(size: str, gen_len: int, bsz: int,
     from musicnlp_tpu.models.reformer import Reformer, ReformerConfig
     from musicnlp_tpu.ops.sampling import SampleConfig, generate_scan
 
-    scan_chunk = int(os.environ.get('BENCH_SCAN_CHUNK', 0)) or None
+    scan_chunk = _env_int('BENCH_SCAN_CHUNK', 0) or None
+    if scan_chunk and gen_len % scan_chunk:
+        raise SystemExit(f'bench: BENCH_SCAN_CHUNK={scan_chunk} must divide '
+                         f'gen_len={gen_len}')
     cfg = ReformerConfig.from_size(size, vocab_size=422, max_length=gen_len,
                                    dtype='bfloat16',
                                    decode_cache_quant=kv_quant,
@@ -424,12 +493,12 @@ def main():
     model_kind = os.environ.get('BENCH_MODEL', 'tfxl')
     if model_kind == 'reformer':
         if mode == 'decode':
-            gen_len = int(os.environ.get('BENCH_SEQ', 2048))
+            gen_len = _env_int('BENCH_SEQ', 2048)
             # 128-way is the measured throughput knee for the streaming-scan
             # decode: 32->5.8k, 64->7.9k, 128->15.7k, 256->14.5k tok/s (the
             # full-cache stream turns bandwidth-bound past 128; 512 OOMs the
             # [n_lsh, B, N, H, L] caches).
-            bsz = int(os.environ.get('BENCH_BSZ', 128))
+            bsz = _env_int('BENCH_BSZ', 128)
             kv = os.environ.get('BENCH_KV', 'int8')
             r = measure_reformer_decode(size, gen_len, bsz,
                                         kv_quant=None if kv == 'bf16' else kv)
@@ -443,9 +512,9 @@ def main():
                 kv_cache=kv,
                 batch_latency_s=round(r['batch_latency_s'], 3))))
             return
-        seq = int(os.environ.get('BENCH_SEQ', 2048))
-        bsz = int(os.environ.get('BENCH_BSZ', 16))
-        steps = int(os.environ.get('BENCH_STEPS', 10))
+        seq = _env_int('BENCH_SEQ', 2048)
+        bsz = _env_int('BENCH_BSZ', 16)
+        steps = _env_int('BENCH_STEPS', 10)
         key = f'reformer-{size}-seq{seq}'
         cache = {}
         if os.path.exists(BASELINE_CACHE):
@@ -462,7 +531,8 @@ def main():
         print(json.dumps(dict(
             metric=f'reformer_{size}_train_tokens_per_sec_per_chip',
             value=round(ours, 1), unit='tokens/sec/chip',
-            vs_baseline=round(ours / cache[key]['tokens_per_sec'], 2))))
+            vs_baseline=round(ours / cache[key]['tokens_per_sec'], 2),
+            **mfu_fields(ours, reformer_train_flops_per_token(size, seq, 422)))))
         return
     if mode == 'extract':
         r = measure_extraction()
@@ -474,10 +544,10 @@ def main():
             native_tokens_per_sec=round(r['native_tokens_per_sec'], 0))))
         return
     if mode == 'decode':
-        gen_len = int(os.environ.get('BENCH_SEQ', 1024))
+        gen_len = _env_int('BENCH_SEQ', 1024)
         # 256-way is the benched default: decode is op-latency-bound and batch
         # is the lever (64->28.5k, 128->56.0k, 256->62.0k, 512->64.2k tok/s)
-        bsz = int(os.environ.get('BENCH_BSZ', 256))
+        bsz = _env_int('BENCH_BSZ', 256)
         key = f'decode-{size}-len{gen_len}'
         cache = {}
         if os.path.exists(BASELINE_CACHE):
@@ -504,11 +574,11 @@ def main():
             kv_cache=kv,
             batch_latency_s=round(ours['batch_latency_s'], 3))))
         return
-    seq = int(os.environ.get('BENCH_SEQ', 1024))
-    bsz = int(os.environ.get('BENCH_BSZ', 16))
-    steps = int(os.environ.get('BENCH_STEPS', 10))
-    vocab = int(os.environ.get('BENCH_VOCAB', 1190))
-    head_chunk = int(os.environ.get('BENCH_HEAD_CHUNK', 0)) or None
+    seq = _env_int('BENCH_SEQ', 1024)
+    bsz = _env_int('BENCH_BSZ', 16)
+    steps = _env_int('BENCH_STEPS', 10)
+    vocab = _env_int('BENCH_VOCAB', 1190)
+    head_chunk = _env_int('BENCH_HEAD_CHUNK', 0) or None
     baseline = get_baseline(size, seq)
     ours = measure_ours(size, seq, bsz, steps, vocab_size=vocab,
                         head_chunk=head_chunk)
@@ -516,7 +586,8 @@ def main():
     print(json.dumps(dict(
         metric=f'tfxl_{size}_train_tokens_per_sec_per_chip',
         value=round(ours, 1), unit='tokens/sec/chip',
-        vs_baseline=round(ours / baseline, 2), **extra)))
+        vs_baseline=round(ours / baseline, 2), **extra,
+        **mfu_fields(ours, tfxl_train_flops_per_token(size, seq, vocab)))))
 
 
 if __name__ == '__main__':
