@@ -94,7 +94,8 @@ def mfu_fields(tokens_per_sec: float, flops_per_token: float) -> dict:
 
 
 def measure_ours(size: str, seq: int, bsz: int, steps: int,
-                 vocab_size: int = 1190, head_chunk: int = None) -> float:
+                 vocab_size: int = 1190, head_chunk: int = None,
+                 shard_vocab: bool = False) -> float:
     import jax
     import jax.numpy as jnp
     import optax
@@ -103,9 +104,20 @@ def measure_ours(size: str, seq: int, bsz: int, steps: int,
     from musicnlp_tpu.utils.rng import train_key
 
     cfg = TransfoXLConfig.from_size(size, vocab_size=vocab_size, max_length=seq,
-                                    dtype='bfloat16', head_chunk=head_chunk)
-    model = TransfoXL(cfg)
-    params = model.init(jax.random.PRNGKey(0))
+                                    dtype='bfloat16', head_chunk=head_chunk,
+                                    shard_vocab=shard_vocab)
+    if shard_vocab:
+        # exercise the vocab-row-sharded head code path (shard_map CE); on
+        # the single bench chip the mesh is (1, 1) and collectives are no-ops
+        from musicnlp_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(n_data=1, n_model=1)
+        model = TransfoXL(cfg, mesh=mesh)
+        params = model.init(jax.random.PRNGKey(0))
+        params = mesh_lib.shard_pytree(
+            params, mesh_lib.param_specs(params, shard_vocab=True), mesh)
+    else:
+        model = TransfoXL(cfg)
+        params = model.init(jax.random.PRNGKey(0))
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(3e-4, weight_decay=1e-2))
     opt_state = jax.jit(tx.init)(params)
@@ -579,10 +591,13 @@ def main():
     steps = _env_int('BENCH_STEPS', 10)
     vocab = _env_int('BENCH_VOCAB', 1190)
     head_chunk = _env_int('BENCH_HEAD_CHUNK', 0) or None
+    shard_vocab = bool(_env_int('BENCH_SHARD_VOCAB', 0))
     baseline = get_baseline(size, seq)
     ours = measure_ours(size, seq, bsz, steps, vocab_size=vocab,
-                        head_chunk=head_chunk)
+                        head_chunk=head_chunk, shard_vocab=shard_vocab)
     extra = {} if vocab == 1190 else dict(vocab_size=vocab)
+    if shard_vocab:
+        extra['shard_vocab'] = True
     print(json.dumps(dict(
         metric=f'tfxl_{size}_train_tokens_per_sec_per_chip',
         value=round(ours, 1), unit='tokens/sec/chip',

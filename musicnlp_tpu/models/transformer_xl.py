@@ -73,6 +73,12 @@ class TransfoXLConfig:
     # 32k-262k learned-tokenizer tiers, reference transformer_xl.py:56-66).
     # None = full-logits path (right for the base <=32k vocabs).
     head_chunk: Optional[int] = None
+    # shard the tied [V, d] embedding/head over the mesh `model` axis
+    # (ops/sharded_head.py): the 262k tier's ~200M-param table then never
+    # replicates or all-reduces in full.  Requires constructing the model
+    # with `mesh=` and placing params via param_specs(shard_vocab=True);
+    # training only (n_seg == 1); composes with head_chunk for tiling.
+    shard_vocab: bool = False
     # HF-compatible adaptive softmax head (cluster factorization), for
     # importing reference-trained checkpoints (the reference sets
     # cutoffs=[1000] for vocab >= 1000, reference transformer_xl.py:56-66).
@@ -150,8 +156,15 @@ class DecodeState(NamedTuple):
 class TransfoXL:
     """Stateless model namespace: `init` -> params pytree, pure `apply` fns."""
 
-    def __init__(self, config: TransfoXLConfig):
+    def __init__(self, config: TransfoXLConfig, mesh=None):
         self.cfg = config
+        # mesh is only consulted when cfg.shard_vocab (vocab-row-sharded
+        # embedding/head); every other sharding decision stays external
+        # (param_specs + jit in_shardings), keeping the model mesh-free.
+        self.mesh = mesh
+        if config.shard_vocab:
+            assert mesh is not None, \
+                'shard_vocab=True requires TransfoXL(cfg, mesh=mesh)'
 
     # ------------------------------------------------------------------ init
     def init(self, rng) -> Params:
@@ -212,8 +225,13 @@ class TransfoXL:
         B, Q = input_ids.shape
 
         emb_scale = cfg.d_model ** 0.5
-        h = params['embed']['weight'].astype(dtype)[input_ids] * jnp.asarray(
-            emb_scale, dtype)
+        if cfg.shard_vocab:
+            from musicnlp_tpu.ops.sharded_head import vocab_sharded_embed
+            h = vocab_sharded_embed(input_ids, params['embed']['weight'],
+                                    mesh=self.mesh, dtype=dtype)
+        else:
+            h = params['embed']['weight'].astype(dtype)[input_ids]
+        h = h * jnp.asarray(emb_scale, dtype)
         rngs = (jax.random.split(rng, cfg.n_layer * 2 + 1)
                 if (rng is not None and not deterministic) else None)
         h = dropout(h, cfg.dropout, rngs[-1] if rngs is not None else None,
@@ -337,6 +355,15 @@ class TransfoXL:
             'would score through the adaptive clusters -- training and ' \
             'scoring would disagree for an imported adaptive checkpoint'
         if n_seg <= 1:
+            if self.cfg.shard_vocab:
+                from musicnlp_tpu.ops.sharded_head import vocab_sharded_ce_loss
+                h, _, _ = self.forward_hidden(params, input_ids, rng=rng,
+                                              deterministic=deterministic)
+                loss, n_tok, preds = vocab_sharded_ce_loss(
+                    h, labels, params['embed']['weight'], params['out_bias'],
+                    mesh=self.mesh, chunk=self.cfg.head_chunk)
+                acc = ntp_accuracy(preds, labels)
+                return loss, dict(ntp_acc=acc, n_tok=n_tok, preds=preds)
             if self.cfg.head_chunk:
                 h, _, _ = self.forward_hidden(params, input_ids, rng=rng,
                                               deterministic=deterministic)
@@ -351,9 +378,9 @@ class TransfoXL:
             acc = ntp_accuracy(logits, labels)
             return loss, dict(ntp_acc=acc, n_tok=n_tok,
                               preds=jnp.argmax(logits, axis=-1))
-        assert not self.cfg.head_chunk, \
-            'head_chunk (large-vocab tiled CE) requires n_seg == 1; ' \
-            'segment-scan training materializes per-segment logits'
+        assert not (self.cfg.head_chunk or self.cfg.shard_vocab), \
+            'head_chunk/shard_vocab (large-vocab tiled CE) require ' \
+            'n_seg == 1; segment-scan training materializes per-segment logits'
         return self._loss_segments(params, input_ids, labels, rng=rng,
                                    deterministic=deterministic, n_seg=n_seg)
 

@@ -116,15 +116,24 @@ def make_multislice_mesh(n_replica: int, n_data: int = None, n_model: int = 1,
     return Mesh(dev, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
 
 
-def _spec_for(names, leaf) -> P:
+def _spec_for(names, leaf, shard_vocab: bool = False) -> P:
     """Megatron-style TP rule for one param, keyed by its pytree path.
 
     Attention heads and FFN hidden shard over `model`; embeddings, norms, and
-    the LM head replicate (vocab <= 262k is small next to activations).
+    the LM head replicate at the base vocab tiers (<= 32k is small next to
+    activations).  `shard_vocab=True` (the 262k learned-tokenizer tier) row-
+    shards the tied [V, d] embedding/head + bias over `model` instead -- the
+    ~200M-param table and its gradient then never replicate or all-reduce in
+    full (ops/sharded_head.py computes the CE shard-locally).
     Works for both TransfoXL and Reformer param trees.
     """
     last = names[-1] if names else ''
     parent = names[-2] if len(names) > 1 else ''
+    if shard_vocab:
+        if parent == 'embed' and last == 'weight':     # [V, d] row-sharded
+            return P(MODEL_AXIS, None)
+        if last == 'out_bias':                         # [V]
+            return P(MODEL_AXIS)
     if last == 'qkv':                              # [d, 3, N, H]
         return P(None, None, MODEL_AXIS, None)
     if last in ('r', 'qk') or (last in ('v', 'k') and parent == 'attn'):
@@ -140,13 +149,13 @@ def _spec_for(names, leaf) -> P:
     return P(*([None] * getattr(leaf, 'ndim', 0)))
 
 
-def param_specs(params: Dict[str, Any]) -> Any:
+def param_specs(params: Dict[str, Any], shard_vocab: bool = False) -> Any:
     """PartitionSpec pytree matching a model param pytree (rule-based)."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     specs = []
     for path, leaf in flat:
         names = [str(p.key) for p in path if hasattr(p, 'key')]
-        specs.append(_spec_for(names, leaf))
+        specs.append(_spec_for(names, leaf, shard_vocab=shard_vocab))
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 

@@ -144,6 +144,11 @@ class Trainer:
         self.args = args or TrainArgs()
         self.out_dir = out_dir or os.path.join('models', f'run_{int(time.time())}')
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(n_model=n_model)
+        # vocab-row-sharded embedding/head (262k tier): the model needs the
+        # mesh for its shard_map CE, and params place with vocab-sharded specs
+        self._shard_vocab = bool(getattr(model.cfg, 'shard_vocab', False))
+        if self._shard_vocab and getattr(model, 'mesh', None) is None:
+            model.mesh = self.mesh
         # multi-host input sharding: each process loads only its slice of
         # every global batch (reference is single-process; SURVEY.md 2.2's
         # TPU-native equivalent is per-host loading + one GSPMD program).
@@ -171,7 +176,7 @@ class Trainer:
     def init_state(self, rng=None) -> Tuple[Any, Any]:
         """Init (params, opt_state), placed onto the mesh with TP shardings."""
         params = self.model.init(rng if rng is not None else self._rng)
-        specs = mesh_lib.param_specs(params)
+        specs = mesh_lib.param_specs(params, shard_vocab=self._shard_vocab)
         params = mesh_lib.shard_pytree(params, specs, self.mesh)
         opt_state = jax.jit(
             self.tx.init,
@@ -245,7 +250,7 @@ class Trainer:
             params = ckpt.restore_pytree(
                 os.path.join(resume_from, 'params'), jax.device_get(params))
             params = mesh_lib.shard_pytree(
-                params, mesh_lib.param_specs(params), self.mesh)
+                params, mesh_lib.param_specs(params, shard_vocab=self._shard_vocab), self.mesh)
             opt_state = ckpt.restore_pytree(
                 os.path.join(resume_from, 'opt_state'),
                 jax.device_get(opt_state))
@@ -304,7 +309,7 @@ class Trainer:
             params = ckpt.restore_pytree(os.path.join(best_path, 'params'),
                                          jax.device_get(params))
             params = mesh_lib.shard_pytree(
-                params, mesh_lib.param_specs(params), self.mesh)
+                params, mesh_lib.param_specs(params, shard_vocab=self._shard_vocab), self.mesh)
         final = ckpt.save_pytree(os.path.join(self.out_dir, 'trained'), params)
         ckpt.save_meta(os.path.join(self.out_dir, 'meta.json'), dict(
             model_name=_model_name(self.model),

@@ -451,3 +451,49 @@ def test_proportion_mixing_batches_shard(setup):
     for bi, fb in enumerate(full):
         got = np.concatenate([parts[h][bi]['input_ids'] for h in range(4)])
         np.testing.assert_array_equal(got, fb['input_ids'])
+
+
+def test_vocab_sharded_head_matches_replicated():
+    """shard_vocab (vocab-row-sharded embedding + shard_map CE) == replicated
+    path: same loss/acc/preds AND same grads on a (data=2, model=4) mesh."""
+    from dataclasses import replace
+
+    V = 512
+    cfg_r = TransfoXLConfig(
+        vocab_size=V, model_size='test', d_model=32, n_head=4, d_head=8,
+        d_inner=64, n_layer=2, mem_len=16, clamp_len=32, max_length=64,
+        dropout=0.0, dtype='float32', head_chunk=96)  # non-dividing tile
+    mesh_tp = mesh_lib.make_mesh(n_data=2, n_model=4)
+    cfg_s = replace(cfg_r, shard_vocab=True)
+    model_r = TransfoXL(cfg_r)
+    model_s = TransfoXL(cfg_s, mesh=mesh_tp)
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 64), 0, V, jnp.int32)
+    labels = jnp.where(ids % 7 == 0, -100, ids)
+
+    params_r = model_r.init(jax.random.PRNGKey(0))
+    params_s = model_s.init(jax.random.PRNGKey(0))
+    params_s = mesh_lib.shard_pytree(
+        params_s, mesh_lib.param_specs(params_s, shard_vocab=True), mesh_tp)
+    assert params_s['embed']['weight'].sharding.spec == \
+        jax.sharding.PartitionSpec('model', None)
+
+    def loss_r(p):
+        return model_r.loss(p, ids, labels)
+
+    def loss_s(p):
+        return model_s.loss(p, ids, labels)
+
+    (l_r, aux_r), g_r = jax.jit(
+        jax.value_and_grad(loss_r, has_aux=True))(params_r)
+    (l_s, aux_s), g_s = jax.jit(
+        jax.value_and_grad(loss_s, has_aux=True))(params_s)
+
+    assert np.isclose(float(l_r), float(l_s), rtol=1e-5)
+    assert np.isclose(float(aux_r['ntp_acc']), float(aux_s['ntp_acc']), atol=1e-6)
+    assert float(aux_r['n_tok']) == float(aux_s['n_tok'])
+    np.testing.assert_array_equal(np.asarray(aux_r['preds']),
+                                  np.asarray(aux_s['preds']))
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     jax.device_get(g_r), jax.device_get(g_s))
+    assert max(jax.tree.leaves(d)) < 1e-4, d
