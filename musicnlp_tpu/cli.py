@@ -94,21 +94,43 @@ def _cmd_train(a) -> int:
         trainer = setup_recipe(a.recipe, train_sd, eval_datasets=eval_sd,
                                out_dir=a.out, train_args=overrides)
     else:
+        scheme = getattr(a, 'tokenizer_scheme', 'vanilla')
+        if scheme != 'vanilla' and not a.tokenizer_path:
+            print(f'error: --tokenizer-scheme {scheme} requires '
+                  '--tokenizer-path (a trained unit-table json)',
+                  file=sys.stderr)
+            return 2
         model, tok = get_model_n_tokenizer(
-            a.model, a.size, pitch_kind=a.pitch_kind, max_length=a.max_length)
+            a.model, a.size, pitch_kind=a.pitch_kind, max_length=a.max_length,
+            tokenizer_scheme=scheme, tokenizer_path=a.tokenizer_path)
         insert_key = a.insert_key
-        if a.pitch_kind == 'degree' and not insert_key:
+        if tok.pitch_kind == 'degree' and not insert_key:
             # degree pitch ids are key-conditioned; without the shift the
             # step-kind corpus would index garbage degree tokens
-            print('note: --pitch-kind degree requires key augmentation; '
+            print('note: degree pitch kind requires key augmentation; '
                   'enabling --insert-key', file=sys.stderr)
             insert_key = True
         aug = dict(insert_key=insert_key, pitch_shift=insert_key,
                    channel_mixup=a.channel_mixup)
-        train_ds = AugmentedDataset(train_sd, tok, dataset_split='train', **aug)
-        eval_ds = (AugmentedDataset(eval_sd, tok, random_crop=False,
-                                    dataset_split='test', **aug)
-                   if eval_sd is not None else None)
+        if scheme != 'vanilla':
+            # learned tokenizers (merged ids) train via the STRING pipeline;
+            # the id-space AugmentedDataset only represents base-vocab ids
+            from musicnlp_tpu.preprocess.dataset import (
+                StringAugmentedDataset, songdataset_to_dicts,
+            )
+            train_ds = StringAugmentedDataset(
+                songdataset_to_dicts(train_sd), tok, dataset_split='train',
+                **aug)
+            eval_ds = (StringAugmentedDataset(
+                songdataset_to_dicts(eval_sd), tok, random_crop=False,
+                dataset_split='test', **aug)
+                if eval_sd is not None else None)
+        else:
+            train_ds = AugmentedDataset(train_sd, tok, dataset_split='train',
+                                        **aug)
+            eval_ds = (AugmentedDataset(eval_sd, tok, random_crop=False,
+                                        dataset_split='test', **aug)
+                       if eval_sd is not None else None)
         args = TrainArgs.from_preset(a.model, a.size, **overrides)
         trainer = Trainer(model, tok, train_ds, eval_ds, args=args, out_dir=a.out)
     summary = trainer.train()
@@ -204,6 +226,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument('--insert-key', action='store_true',
                    help='key-insert + degree pitch-shift augmentation')
     t.add_argument('--channel-mixup', action='store_true')
+    t.add_argument('--tokenizer-scheme', default='vanilla',
+                   choices=['vanilla', 'wordpiece', 'pairmerge'],
+                   help='learned tokenizers train via the string pipeline; '
+                        'generate reloads them from the run dir automatically')
+    t.add_argument('--tokenizer-path',
+                   help='trained unit-table json(.gz) for wordpiece/pairmerge '
+                        '(e.g. artifacts/wordpiece_262144_degree.json.gz)')
     t.set_defaults(fn=_cmd_train)
 
     g = sub.add_parser('generate', help='sample songs from a trained model')

@@ -31,7 +31,23 @@ from musicnlp_tpu.vocab import (
 __all__ = [
     'load_songs', 'EncodedSong', 'SongDataset', 'AugmentedDataset',
     'StringAugmentedDataset', 'ProportionMixingDataset', 'iter_song_w_all_keys',
+    'songdataset_to_dicts',
 ]
+
+
+def songdataset_to_dicts(sd: 'SongDataset') -> List[Dict]:
+    """Decode a columnar SongDataset back to raw song dicts
+    ({'score', 'keys', 'title'}) -- the input form of the learned-tokenizer
+    STRING pipeline (StringAugmentedDataset), which must re-run transforms on
+    token text rather than on compiled base-vocab id tables."""
+    vocab = MusicVocabulary(pitch_kind=sd.pitch_kind)
+    out = []
+    for s in sd.songs:
+        keys = {key_ordinal2str[i]: float(v)
+                for i, v in enumerate(s.key_scores) if v >= 0}
+        out.append(dict(score=' '.join(vocab.i2t(int(i)) for i in s.ids),
+                        keys=keys, title=s.title))
+    return out
 
 
 def load_songs(*paths: str) -> List[Dict]:

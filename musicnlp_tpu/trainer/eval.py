@@ -251,11 +251,13 @@ class MusicGenerator:
                     p = np.asarray(scores, float)
                     key = keys[int(rng.choice(len(keys), p=p / p.sum()))]
             assert isinstance(key, str)
-            ps = tsf.PitchShift(vocab_step=self._vocab_step,
-                                vocab_degree=self.vocab, key=key)
-            toks = ps(text).split()
+            # PitchShift reads the key token at position 2, so insert it
+            # BEFORE shifting (KeyInsert-then-PitchShift, the AugmentKey order)
+            toks = text.split()
             toks.insert(2, f'Key_{key}')
-            text = ' '.join(toks)
+            ps = tsf.PitchShift(vocab_step=self._vocab_step,
+                                vocab_degree=self.vocab)
+            text = ps(' '.join(toks))
         else:
             text = self._to_midi(text)
         return text

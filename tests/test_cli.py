@@ -119,3 +119,53 @@ def test_extract_resume_counts(tmp_path):
     assert r1['n_done'] == 2 and r1['n_skipped'] == 0
     r2 = exp(golden, output_dir=f'{base}/json', save_each=True)
     assert r2['n_done'] == 0 and r2['n_skipped'] == 2
+
+
+def test_cli_wordpiece_train_generate(tmp_path):
+    """Learned-tokenizer CLI flow: extract -> train wordpiece -> train model
+    over the string pipeline -> generate (tokenizer auto-restored from run)."""
+    base = str(tmp_path)
+    goldens = sorted(glob.glob(os.path.join(GOLDEN_DIR, 'golden*.musicxml')))
+    import shutil
+    inputs = []
+    for i, g in enumerate(goldens * 2):
+        p = f'{base}/in_{i}.musicxml'
+        shutil.copy(g, p)
+        inputs.append(p)
+    assert main(['extract', *inputs, '--out', f'{base}/json',
+                 '--combine', f'{base}/combined.json']) == 0
+    assert main(['dataset', f'{base}/combined.json', '--out', f'{base}/ds',
+                 '--test-frac', '0.2', '--pitch-kind', 'step']) == 0
+
+    # train a small midi-kind WordPiece over the same corpus
+    from musicnlp_tpu.preprocess import transform as tsf
+    from musicnlp_tpu.preprocess.dataset import load_songs
+    from musicnlp_tpu.trainer.wordpiece_tokenizer import WordPieceMusicTrainer
+    from musicnlp_tpu.vocab import MusicVocabulary
+    songs = load_songs(f'{base}/combined.json')
+    sant = tsf.SanitizeRare(vocab=MusicVocabulary(pitch_kind='step'))
+    tomidi = tsf.ToMidiPitch(vocab=MusicVocabulary(pitch_kind='step'))
+    corpus = [tomidi(sant(s['score'])) for s in songs]
+    tr = WordPieceMusicTrainer(pitch_kind='midi')
+    wp_path = f'{base}/wp.json'
+    tr(corpus, vocab_size=2 * len(MusicVocabulary(pitch_kind='midi')) + 32,
+       save=wp_path)
+
+    rc = main(['train', '--dataset', f'{base}/ds', '--out', f'{base}/run',
+               '--model', 'transf-xl', '--size', 'debug', '--epochs', '1',
+               '--batch-size', '8', '--tokenizer-scheme', 'wordpiece',
+               '--tokenizer-path', wp_path])
+    assert rc == 0
+    assert os.path.exists(f'{base}/run/tokenizer.json')
+
+    rc = main(['generate', '--model-dir', f'{base}/run', '--out',
+               f'{base}/gen', '--n', '1', '--strategy', 'sample',
+               '--top-k', '8', '--seed', '3', '--max-length', '48'])
+    assert rc == 0
+    assert glob.glob(f'{base}/gen/*.mxl') and glob.glob(f'{base}/gen/*.mid')
+    # generated text decodes over the BASE vocab (merged units split back)
+    js = sorted(glob.glob(f'{base}/gen/*.json'))
+    with open(js[0]) as f:
+        text = json.load(f)['text']
+    basev = MusicVocabulary(pitch_kind='midi')
+    assert all(t in basev for t in text.split())

@@ -212,3 +212,93 @@ def test_reformer_generator_contrastive(gen_reformer):
                               top_k=1, penalty_alpha=0.0)
     g = gen_reformer.generate(prompts, strategy='greedy', max_length=40)
     assert c == g
+
+
+# -------------------------------------------- learned-tokenizer generation e2e
+WP_SONGS = [
+    ('TimeSig_4/4 Tempo_120 '
+     '<bar> <melody> p_1/4 d_1 p_5/4 d_1 p_8/4 d_2 <bass> p_1/3 d_4 '
+     '<bar> <melody> p_1/4 d_1 p_5/4 d_1 p_8/4 d_2 <bass> p_1/3 d_4 </s>'),
+    ('TimeSig_4/4 Tempo_90 '
+     '<bar> <melody> p_3/4 d_2 p_1/4 d_1 p_5/4 d_1 <bass> p_3/3 d_4 '
+     '<bar> <melody> <tup> p_1/4 p_5/4 p_8/4 d_1 </tup> p_r d_3 <bass> p_1/3 d_4 </s>'),
+]
+
+
+def test_wordpiece_generation_e2e(tmp_path):
+    """Generate THROUGH a trained WordPiece tokenizer: prompt encodes to
+    merged units, decode splits merged tokens back to base tokens, and the
+    output renders to MXL+MIDI (reference wordpiece_tokenizer.py:349-452
+    feeding trainer/eval.py as one path)."""
+    from musicnlp_tpu.trainer.wordpiece_tokenizer import WordPieceMusicTrainer
+
+    tr = WordPieceMusicTrainer(pitch_kind='midi')
+    tok = tr(WP_SONGS, vocab_size=2 * len(MusicVocabulary(pitch_kind='midi')) + 16)
+    tok.model_max_length = 96
+    cfg = TransfoXLConfig(
+        vocab_size=tok.vocab_size, model_size='test', d_model=32, n_head=2,
+        d_head=16, d_inner=64, n_layer=2, mem_len=32, clamp_len=64,
+        max_length=96, dropout=0.0, dtype='float32')
+    model = TransfoXL(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    gen = MusicGenerator(model, tok, params, out_dir=str(tmp_path))
+
+    # the prompt actually goes through the merge table
+    prompt = gen.unconditional_prompt()
+    assert len(tok.encode(prompt)) <= len(prompt.split())
+
+    outs = gen(mode='unconditional', strategy='sample', n_song=2, seed=3,
+               max_length=96, top_k=8)
+    base = MusicVocabulary(pitch_kind='midi')
+    for o in outs:
+        # merged units decoded back to BASE tokens, rendered to real files
+        assert all(t in base for t in o['text'].split())
+        assert os.path.exists(o['mxl']) and os.path.exists(o['midi'])
+
+    # conditional: step-kind prompt maps to midi kind, then merges
+    outs = gen(mode='conditional', strategy='greedy', n_song=1, seed=4,
+               max_length=96,
+               prompt_args=dict(songs=[SAMPLE_STEP], n_bar=2))
+    assert outs[0]['prompt'].count('<bar>') >= 2
+    assert os.path.exists(outs[0]['mxl'])
+
+
+def test_pairmerge_degree_generation_e2e(tmp_path):
+    """Pair-merge tokenizer + degree pitches + key augmentation: the whole
+    reference learned-tokenizer flow (train -> encode -> decode -> render)."""
+    from musicnlp_tpu.preprocess import transform as tsf
+    from musicnlp_tpu.trainer.pair_merge_tokenizer import PairMergeTokenizerTrainer
+
+    step_songs = [
+        ('TimeSig_4/4 Tempo_120 <bar> <melody> p_1/4_C d_1 p_5/4_E d_1 '
+         'p_8/4_G d_2 <bass> p_1/3_C d_4 '
+         '<bar> <melody> p_8/4_G d_2 p_5/4_E d_2 <bass> p_1/3_C d_4 </s>'),
+        ('TimeSig_3/4 Tempo_90 <bar> <melody> p_3/4_D d_1 p_8/4_G d_2 '
+         '<bass> p_8/2_G d_3 </s>'),
+    ]
+    ak = tsf.AugmentKey()
+    aug = [ak((s, k)) for s in step_songs for k in ('CMajor', 'GMajor')]
+    tr = PairMergeTokenizerTrainer(pitch_kind='degree', mode='full')
+    tok = tr(aug, coverage_ratio=0.9)
+    tok.model_max_length = 96
+    cfg = TransfoXLConfig(
+        vocab_size=tok.vocab_size, model_size='test', d_model=32, n_head=2,
+        d_head=16, d_inner=64, n_layer=2, mem_len=32, clamp_len=64,
+        max_length=96, dropout=0.0, dtype='float32')
+    model = TransfoXL(cfg)
+    params = model.init(jax.random.PRNGKey(1))
+    gen = MusicGenerator(model, tok, params, augment_key=True,
+                         out_dir=str(tmp_path))
+
+    outs = gen(mode='unconditional', strategy='sample', n_song=1, seed=5,
+               max_length=96, top_k=8, prompt_args=dict(key='CMajor'))
+    assert 'Key_CMajor' in outs[0]['text']
+    assert os.path.exists(outs[0]['mxl'])
+
+    # conditional: step-kind song pitch-shifts into degree space + key token
+    outs = gen(mode='conditional', strategy='greedy', n_song=1, seed=6,
+               max_length=96,
+               prompt_args=dict(songs=[step_songs[0]], n_bar=2,
+                                key={'CMajor': 0.7, 'GMajor': 0.3}))
+    assert outs[0]['prompt'].split()[2] == 'Key_CMajor'
+    assert os.path.exists(outs[0]['mxl'])
