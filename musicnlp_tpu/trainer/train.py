@@ -497,13 +497,16 @@ RECIPES: Dict[str, Dict] = {
 
 def setup_recipe(name: str, song_datasets, eval_datasets=None,
                  out_dir: str = None, n_model: int = 1,
-                 train_args: Dict = None) -> Trainer:
+                 train_args: Dict = None, overrides: Dict = None) -> Trainer:
     """Wire a named recipe end to end: model + tokenizer + augmented datasets
-    (+ proportional mixing when the recipe uses it) + Trainer."""
+    (+ proportional mixing when the recipe uses it) + Trainer.
+
+    overrides: shallow recipe-field overrides (e.g. model_size='small' to run
+    the 22-11 recipe at a different size tier)."""
     from musicnlp_tpu.preprocess.dataset import (
         AugmentedDataset, ProportionMixingDataset, SongDataset,
     )
-    r = RECIPES[name]
+    r = dict(RECIPES[name], **(overrides or {}))
     model, tokenizer = get_model_n_tokenizer(
         r['model_name'], r['model_size'], pitch_kind=r['pitch_kind'],
         max_length=r['max_length'], model_config=r.get('model_config'))
