@@ -1,0 +1,361 @@
+"""Real-corpus training + generation evidence (round-4 verdict item 2).
+
+The reference anchors its quality claims on real data: ~73% next-token
+accuracy (reference musicnlp/trainer/eval.py:545), IKR ~0.95 on POP909
+(reference trainer/metrics.py:239-244), and ~250 shipped generated MXLs
+(reference generated-samples/).  40 real songs (80 .mid/.mxl) ship with the
+reference in generated-samples/original/ -- this script trains on them and
+compares generated continuations DISTRIBUTIONALLY against the reference's own
+shipped 22-11 generations, scored by the same code path for both sides:
+
+  extract   40 original .mxl -> step-kind token corpus -> train/test npz
+  train     22-11 recipe (TF-XL, degree pitch, key-aug, proportional mixing)
+            at --model-size {small,base}; reports eval NTP-acc + IKR
+  generate  conditional 8-bar continuations of every original song (the
+            reference's dominant setting: sample, #b=8, topk=8) + a set of
+            unconditional songs; renders MXL/MIDI
+  score     OUR generated MXLs and the reference's shipped 22-11 MXLs both go
+            back through MusicExtractor + KeyFinder + MusicStats + IkrMetric;
+            reports per-set stats and Jensen-Shannon distances between the
+            duration / pitch-class / token-type distributions
+
+Stages cache to --out; artifacts/real_corpus_eval.json gets the committed
+summary.  TPU serialization: run only when no other TPU process is live.
+
+Usage:
+  python scripts/train_real.py --out /tmp/real --stage extract
+  python scripts/train_real.py --out /tmp/real --stage train --model-size small
+  python scripts/train_real.py --out /tmp/real --stage generate --model-size small
+  python scripts/train_real.py --out /tmp/real --stage score
+  python scripts/train_real.py --out /tmp/real            # all stages, small
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import math
+import os
+import sys
+import time
+from collections import Counter
+from fractions import Fraction
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+ORIGINALS = '/root/reference/generated-samples/original'
+REF_GENERATED = ('/root/reference/generated-samples/'
+                 '22-11_Transformer XL, degree-pitch')
+ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'artifacts', 'real_corpus_eval.json')
+
+
+# ------------------------------------------------------------------ extract
+def stage_extract(out: str) -> dict:
+    from musicnlp_tpu.preprocess.music_export import (
+        MusicExport, combine_saved_songs, json2dataset,
+    )
+    paths = sorted(glob.glob(os.path.join(ORIGINALS, '*.mxl')))
+    assert paths, f'no .mxl under {ORIGINALS}'
+    print(f'[extract] {len(paths)} original songs', flush=True)
+    jd = os.path.join(out, 'json')
+    # step-kind (spelled) pitches: the degree-pitch 22-11 pipeline key-shifts
+    # spelled pitches to scale degrees (PitchShift needs step, not midi)
+    MusicExport(mode='full', extractor_args=dict(with_pitch_step=True))(
+        paths, output_dir=jd, save_each=True, halt_on_error=False)
+    combined = combine_saved_songs(
+        sorted(glob.glob(os.path.join(jd, '*.json'))),
+        out_path=os.path.join(out, 'combined.json'))
+    ds = json2dataset(combined, os.path.join(out, 'dataset'),
+                      test_frac=0.1, pitch_kind='step')
+    print(f'[extract] dataset: {ds}', flush=True)
+    return ds
+
+
+# -------------------------------------------------------------------- train
+def stage_train(out: str, model_size: str, epochs: int, batch_size: int,
+                seed: int = 0) -> dict:
+    from musicnlp_tpu.postprocess.train_plot import summarize_run
+    from musicnlp_tpu.preprocess.dataset import SongDataset
+    from musicnlp_tpu.trainer.train import setup_recipe
+
+    train_sd = SongDataset.load(os.path.join(out, 'dataset', 'train.npz'))
+    test_sd = SongDataset.load(os.path.join(out, 'dataset', 'test.npz'))
+    run_dir = os.path.join(out, f'model_{model_size}')
+    print(f'[train] {model_size}: {len(train_sd)} train / {len(test_sd)} test '
+          f'songs, {epochs} epochs, bsz {batch_size}', flush=True)
+    trainer = setup_recipe(
+        '22-11', [train_sd], eval_datasets=test_sd, out_dir=run_dir,
+        overrides=dict(model_size=model_size),
+        train_args=dict(num_train_epochs=epochs, batch_size=batch_size,
+                        logging_steps=50, seed=seed))
+    t0 = time.time()
+    res = trainer.train()
+    summ = summarize_run(trainer.log_path)
+    rec = dict(model_size=model_size, epochs=epochs, batch_size=batch_size,
+               n_train_songs=len(train_sd), n_test_songs=len(test_sd),
+               best_eval_loss=float(res['best_eval_loss']),
+               best_eval_ntp_acc=summ.get('best_eval_ntp_acc'),
+               best_eval_ikr=summ.get('best_eval_ikr'),
+               wall_s=round(time.time() - t0, 1), run_dir=run_dir)
+    with open(os.path.join(run_dir, 'train_summary.json'), 'w') as f:
+        json.dump(rec, f, indent=2)
+    print('[train] summary:', json.dumps(rec, indent=2), flush=True)
+    return rec
+
+
+# ----------------------------------------------------------------- generate
+def stage_generate(out: str, model_size: str, n_uncond: int = 16,
+                   n_per_song: int = 3, top_k: int = 8, n_bar: int = 8,
+                   seed: int = 0, max_length: int = 1024) -> dict:
+    """Conditional continuations of every original song (sample, #b=8, topk=8
+    -- the reference's dominant shipped setting) + unconditional songs."""
+    from musicnlp_tpu.trainer.eval import MusicGenerator, load_trained
+
+    run_dir = os.path.join(out, f'model_{model_size}')
+    model, params, tok = load_trained(run_dir)
+    gen_dir = os.path.join(out, f'generated_{model_size}')
+    gen = MusicGenerator(model, tok, params, augment_key=True,
+                         out_dir=gen_dir)
+
+    with open(os.path.join(out, 'combined.json')) as f:
+        songs = json.load(f)['music']
+    rng = np.random.default_rng(seed)
+
+    # conditional: n_per_song continuations per original song
+    prompts, metas = [], []
+    for s in songs:
+        try:
+            p = gen.conditional_prompt(s['score'], n_bar=n_bar,
+                                       key=s.get('keys'), key_sample='max')
+        except Exception as e:           # a song shorter than n_bar bars etc.
+            print(f"[generate] prompt skip {s.get('title')}: {e}", flush=True)
+            continue
+        for j in range(n_per_song):
+            prompts.append(p)
+            metas.append(dict(mode='conditional', title=s.get('title'),
+                              n_bar=n_bar, sample_idx=j))
+    # unconditional: corpus-mode time-sig/tempo, corpus-sampled keys
+    keys_pool = []
+    for s in songs:
+        ks = s.get('keys') or {}
+        if ks:
+            keys_pool.append(max(ks, key=ks.get))
+    for j in range(n_uncond):
+        key = keys_pool[int(rng.integers(len(keys_pool)))]
+        prompts.append(gen.unconditional_prompt(time_sig=(4, 4), tempo=120,
+                                                key=key))
+        metas.append(dict(mode='unconditional', key=key, sample_idx=j))
+
+    print(f'[generate] {len(prompts)} prompts '
+          f'({len(prompts) - n_uncond} conditional + {n_uncond} uncond), '
+          f'sample top_k={top_k}', flush=True)
+    t0 = time.time()
+    texts = gen.generate(prompts, strategy='sample', top_k=top_k, seed=seed,
+                         max_length=max_length)
+    dt = time.time() - t0
+    print(f'[generate] {len(texts)} songs in {dt:.1f}s '
+          f'({sum(len(t.split()) for t in texts)} tokens)', flush=True)
+
+    from musicnlp_tpu.trainer.eval import repair_generated, truncate_last_bar
+    os.makedirs(gen_dir, exist_ok=True)
+    n_render_fail = 0
+    for i, (text, meta) in enumerate(zip(texts, metas)):
+        text = truncate_last_bar(text, gen.vocab)
+        text = repair_generated(text, gen.vocab)
+        rec = dict(meta, text=text, prompt=prompts[i])
+        stem = f'real_{model_size}_{i:03d}'
+        try:
+            score = gen.converter.str2score(text, pitch_kind=tok.pitch_kind,
+                                            title=stem)
+            score.write_mxl(os.path.join(gen_dir, f'{stem}.mxl'))
+            score.write_midi(os.path.join(gen_dir, f'{stem}.mid'))
+        except Exception as e:
+            n_render_fail += 1
+            rec['render_error'] = f'{type(e).__name__}: {e}'
+        with open(os.path.join(gen_dir, f'{stem}.json'), 'w') as f:
+            json.dump(rec, f)
+    rec = dict(n_generated=len(texts), n_render_fail=n_render_fail,
+               gen_seconds=round(dt, 1), top_k=top_k, n_bar=n_bar,
+               max_length=max_length, gen_dir=gen_dir)
+    with open(os.path.join(gen_dir, 'generate_summary.json'), 'w') as f:
+        json.dump(rec, f, indent=2)
+    print('[generate]', json.dumps(rec), flush=True)
+    return rec
+
+
+# -------------------------------------------------------------------- score
+def _extract_set(paths, out_json_dir) -> tuple:
+    """MXL files -> extraction records (step-kind score + KeyFinder keys),
+    cached per file; the SAME scoring entry for ours and the reference's.
+
+    Returns (records, n_attempted).  Files whose bars fail extraction
+    validation (e.g. a generated bar whose durations overflow the time
+    signature) are counted but not scored -- the extract-ok ratio is itself
+    a well-formedness metric, applied symmetrically to both sets."""
+    from musicnlp_tpu.preprocess.music_export import MusicExport
+    MusicExport(mode='full', extractor_args=dict(with_pitch_step=True))(
+        paths, output_dir=out_json_dir, save_each=True, halt_on_error=False)
+    recs = []
+    for p in sorted(glob.glob(os.path.join(out_json_dir, '*.json'))):
+        with open(p) as f:
+            r = json.load(f)
+        if 'score' in r:
+            recs.append(r)
+    return recs, len(paths)
+
+
+def _score_records(recs) -> dict:
+    """Shared scorer: token-type / duration / pitch-class distributions,
+    per-song stats, and IKR (vanilla + most-confident-key, the reference's
+    published reduce_kind -- reference metrics.py:239-244)."""
+    from musicnlp_tpu.postprocess.music_stats import MusicStats
+    from musicnlp_tpu.trainer.metrics import IkrMetric
+    from musicnlp_tpu.vocab import MusicTokenizer, N_KEY, key_str2ordinal
+
+    ms = MusicStats(pitch_kind='step')
+    tok = MusicTokenizer(pitch_kind='step')
+    ikr = IkrMetric(tok)
+
+    type_counts: Counter = Counter()
+    dur_counts: Counter = Counter()
+    pc_dur: Counter = Counter()
+    per_song = []
+    ids_list, ks_list = [], []
+    for r in recs:
+        toks = r['score'].split()
+        tc = ms.vocab_type_counts(toks, strict=False)
+        for typ, c in tc.items():
+            type_counts[typ] += sum(c.values())
+            if typ == 'duration':
+                dur_counts.update(c)
+        for p, d in ms.weighted_pitch_counts(toks).items():
+            pc_dur[p % 12] += float(d)
+        per_song.append(ms.song_stats(toks))
+        ids = np.asarray(tok.encode(r['score']), np.int32)
+        ks = np.full(N_KEY, -1.0, np.float32)
+        for k, v in (r.get('keys') or {}).items():
+            ks[key_str2ordinal[k]] = v
+        ids_list.append(ids)
+        ks_list.append(ks)
+
+    L = max(len(i) for i in ids_list)
+    ids_mat = np.full((len(ids_list), L), tok.pad_token_id, np.int32)
+    for i, v in enumerate(ids_list):
+        ids_mat[i, :len(v)] = v
+    ks_mat = np.stack(ks_list)
+    gt_ikr = float(ikr.ground_truth_ikr(ids_mat, ks_mat))
+    gt_ikr_best = float(ikr.ground_truth_ikr(ids_mat, ks_mat,
+                                             best_key_only=True))
+
+    n = max(len(per_song), 1)
+    return dict(
+        n_songs=len(recs),
+        ikr=gt_ikr, ikr_best_key=gt_ikr_best,
+        mean_bars=sum(s['n_bar'] for s in per_song) / n,
+        mean_tokens=sum(s['n_token'] for s in per_song) / n,
+        tuplet_per_song=sum(s['n_tuplet'] for s in per_song) / n,
+        rare_ratio=sum(s['rare_ratio'] for s in per_song) / n,
+        type_counts={k: int(v) for k, v in sorted(type_counts.items())},
+        dur_hist={str(k): int(v) for k, v in sorted(
+            dur_counts.items(), key=lambda kv: float(Fraction(str(kv[0]))))},
+        pc_hist={str(k): round(float(v), 3) for k, v in sorted(pc_dur.items())},
+    )
+
+
+def _js_div(p: dict, q: dict) -> float:
+    """Jensen-Shannon divergence (base 2) between two count dicts."""
+    keys = sorted(set(p) | set(q))
+    a = np.array([float(p.get(k, 0)) for k in keys]) + 1e-12
+    b = np.array([float(q.get(k, 0)) for k in keys]) + 1e-12
+    a, b = a / a.sum(), b / b.sum()
+    m = (a + b) / 2
+    kl = lambda x, y: float(np.sum(x * np.log2(x / y)))
+    return 0.5 * kl(a, m) + 0.5 * kl(b, m)
+
+
+def stage_score(out: str, model_sizes) -> dict:
+    ref_paths = sorted(glob.glob(os.path.join(REF_GENERATED, '*.mxl')))
+    print(f'[score] extracting {len(ref_paths)} reference generations...',
+          flush=True)
+    ref_recs, n_ref = _extract_set(ref_paths, os.path.join(out, 'ref_gen_json'))
+    ref_stats = _score_records(ref_recs)
+    ref_stats['extract_ok_ratio'] = round(len(ref_recs) / max(n_ref, 1), 4)
+    print(f'[score] reference set: {ref_stats["n_songs"]}/{n_ref} extracted, '
+          f'IKR {ref_stats["ikr"]:.3f}/{ref_stats["ikr_best_key"]:.3f}',
+          flush=True)
+
+    result = dict(reference=ref_stats, models={})
+    for size in model_sizes:
+        gen_dir = os.path.join(out, f'generated_{size}')
+        our_paths = sorted(glob.glob(os.path.join(gen_dir, '*.mxl')))
+        if not our_paths:
+            print(f'[score] no generations for {size}, skipping', flush=True)
+            continue
+        our_recs, n_our = _extract_set(
+            our_paths, os.path.join(out, f'our_gen_json_{size}'))
+        our = _score_records(our_recs)
+        our['extract_ok_ratio'] = round(len(our_recs) / max(n_our, 1), 4)
+        js = dict(duration=_js_div(our['dur_hist'], ref_stats['dur_hist']),
+                  pitch_class=_js_div(our['pc_hist'], ref_stats['pc_hist']),
+                  token_type=_js_div(our['type_counts'],
+                                     ref_stats['type_counts']))
+        tr_summ = {}
+        ts = os.path.join(out, f'model_{size}', 'train_summary.json')
+        if os.path.exists(ts):
+            with open(ts) as f:
+                tr_summ = json.load(f)
+        gs = os.path.join(gen_dir, 'generate_summary.json')
+        gen_summ = {}
+        if os.path.exists(gs):
+            with open(gs) as f:
+                gen_summ = json.load(f)
+        result['models'][size] = dict(
+            train=tr_summ, generate=gen_summ, stats=our,
+            js_divergence_vs_reference={k: round(v, 4) for k, v in js.items()})
+        print(f'[score] {size}: IKR {our["ikr"]:.3f}/{our["ikr_best_key"]:.3f} '
+              f'JS(dur/pc/type) = {js["duration"]:.3f}/{js["pitch_class"]:.3f}'
+              f'/{js["token_type"]:.3f}', flush=True)
+
+    os.makedirs(os.path.dirname(ARTIFACT), exist_ok=True)
+    with open(ARTIFACT, 'w') as f:
+        json.dump(result, f, indent=2)
+    print(f'[score] wrote {ARTIFACT}', flush=True)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--out', default='/tmp/real')
+    ap.add_argument('--stage', default='all',
+                    choices=['all', 'extract', 'train', 'generate', 'score'])
+    ap.add_argument('--model-size', default='small')
+    ap.add_argument('--epochs', type=int, default=256)
+    ap.add_argument('--batch-size', type=int, default=18)
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--platform', default=None,
+                    help="e.g. 'cpu' to keep a smoke run off the TPU")
+    args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update('jax_platforms', args.platform)
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.stage in ('all', 'extract'):
+        stage_extract(args.out)
+    if args.stage in ('all', 'train'):
+        stage_train(args.out, args.model_size, args.epochs, args.batch_size,
+                    seed=args.seed)
+    if args.stage in ('all', 'generate'):
+        stage_generate(args.out, args.model_size, seed=args.seed)
+    if args.stage in ('all', 'score'):
+        sizes = [args.model_size] if args.stage != 'score' else \
+            [d.split('_', 1)[1] for d in sorted(os.listdir(args.out))
+             if d.startswith('generated_')]
+        stage_score(args.out, sizes or [args.model_size])
+
+
+if __name__ == '__main__':
+    main()
