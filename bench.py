@@ -506,10 +506,10 @@ def main():
     if model_kind == 'reformer':
         if mode == 'decode':
             gen_len = _env_int('BENCH_SEQ', 2048)
-            # 128-way is the measured throughput knee for the streaming-scan
-            # decode: 32->5.8k, 64->7.9k, 128->15.7k, 256->14.5k tok/s (the
-            # full-cache stream turns bandwidth-bound past 128; 512 OOMs the
-            # [n_lsh, B, N, H, L] caches).
+            # Round-4 sweep (artifacts/decode_sweep_r4.jsonl): b128 is the
+            # knee -- int8 full-chunk scan 9.2k tok/s @128 vs 8.9k @256; the
+            # bf16 cache OOM-crashes the worker at 256, and sub-L scan
+            # chunks regress (reformer.py decode_scan_chunk docstring).
             bsz = _env_int('BENCH_BSZ', 128)
             kv = os.environ.get('BENCH_KV', 'int8')
             r = measure_reformer_decode(size, gen_len, bsz,
@@ -557,9 +557,11 @@ def main():
         return
     if mode == 'decode':
         gen_len = _env_int('BENCH_SEQ', 1024)
-        # 256-way is the benched default: decode is op-latency-bound and batch
-        # is the lever (64->28.5k, 128->56.0k, 256->62.0k, 512->64.2k tok/s)
-        bsz = _env_int('BENCH_BSZ', 256)
+        # 512-way int8 is the measured winner (round-4 sweep): bf16
+        # 64->28.5k, 128->56.0k, 256->62.0k, 512->64.2k tok/s; int8 KV ring
+        # 256->90.5k, 512->95.1k (batch-latency 2.9s vs 5.5s -- flip to 256
+        # when per-batch latency matters more than throughput)
+        bsz = _env_int('BENCH_BSZ', 512)
         key = f'decode-{size}-len{gen_len}'
         cache = {}
         if os.path.exists(BASELINE_CACHE):

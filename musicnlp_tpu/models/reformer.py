@@ -143,8 +143,15 @@ class ReformerConfig:
     # rings stay at compute dtype (they are 2*chunk wide -- negligible).
     decode_cache_quant: Optional[str] = None    # None | 'int8'
     # 'scan' streams the cache in CH-wide chunks with a DYNAMIC trip count
-    # t//CH + 1 (only the live prefix is read); None = largest divisor of
-    # max_length <= 512.  Must divide max_length.
+    # t//CH + 1 (only the live prefix is read); None = max_length (ONE
+    # full-cache chunk).  Must divide max_length.  Round-4 TPU sweep
+    # (artifacts/decode_sweep_r4.jsonl): chunked streaming is a measured
+    # REGRESSION despite the ~2x average-traffic cut -- 6.5k vs 9.2k tok/s
+    # at base/2048/b128/int8 (and the TPU worker crashes at b256/c512):
+    # the dynamic-trip fori_loop serializes per-chunk online-softmax
+    # rescales on the critical path, while the single full-L einsum is one
+    # fused streaming pass XLA pipelines freely.  Keep the knob for
+    # hardware where traffic wins; default to the measured winner.
     decode_scan_chunk: Optional[int] = None
     # HF `ReformerModelWithLMHead` weight-compatible mode, for importing
     # reference-trained checkpoints (utils/hf_import.py): reversible
@@ -540,18 +547,18 @@ class Reformer:
                         sb, b_t.transpose(1, 2, 0)[None, :, :, :, None]
                         .astype(sb.dtype),
                         (ish, 0, 0, 0, t))                    # [n, B, N, R, L]
-                    # Stream only the LIVE prefix: a fori_loop with DYNAMIC
-                    # trip count t//CH + 1 over CH-wide cache chunks, exact
-                    # per-round online softmax (flash-style m/l/acc
-                    # accumulators).  The full-L einsum read all L columns of
-                    # K and V every step; decode is HBM-streaming-bound
-                    # (module notes), so average traffic -- and step time --
-                    # scales down by ~2x over a full-length generation.
-                    # Access stays purely sequential (the measured winner vs
-                    # gather-based estimators); chunk starts are lane-aligned
-                    # multiples of CH on the time-minor cache layout.
-                    CH = cfg.decode_scan_chunk or next(
-                        d for d in range(min(512, L), 0, -1) if L % d == 0)
+                    # Stream the cache in CH-wide chunks: a fori_loop with
+                    # DYNAMIC trip count t//CH + 1 (only the live prefix is
+                    # read), exact per-round online softmax (flash-style
+                    # m/l/acc accumulators).  Default CH = L: the round-4
+                    # TPU sweep measured chunked streaming SLOWER than the
+                    # single full-cache pass despite its ~2x traffic cut
+                    # (config docstring), so one full chunk is the default
+                    # and sub-L chunks stay available as a knob.  Access is
+                    # purely sequential (the measured winner vs gather-based
+                    # estimators); chunk starts are lane-aligned multiples
+                    # of CH on the time-minor cache layout.
+                    CH = cfg.decode_scan_chunk or L
                     assert L % CH == 0, (CH, L)
                     N, H = q.shape[1], q.shape[2]
                     # cast the SMALL side of the bucket compare to the cache
