@@ -547,17 +547,13 @@ class Reformer:
                         sb, b_t.transpose(1, 2, 0)[None, :, :, :, None]
                         .astype(sb.dtype),
                         (ish, 0, 0, 0, t))                    # [n, B, N, R, L]
-                    # Stream the cache in CH-wide chunks: a fori_loop with
-                    # DYNAMIC trip count t//CH + 1 (only the live prefix is
-                    # read), exact per-round online softmax (flash-style
-                    # m/l/acc accumulators).  Default CH = L: the round-4
-                    # TPU sweep measured chunked streaming SLOWER than the
-                    # single full-cache pass despite its ~2x traffic cut
-                    # (config docstring), so one full chunk is the default
-                    # and sub-L chunks stay available as a knob.  Access is
-                    # purely sequential (the measured winner vs gather-based
-                    # estimators); chunk starts are lane-aligned multiples
-                    # of CH on the time-minor cache layout.
+                    # Default CH = L: ONE fused full-cache pass.  Sub-L
+                    # chunks stream via a fori_loop with DYNAMIC trip count
+                    # t//CH + 1 (only the live prefix is read), exact
+                    # per-round online softmax (flash-style m/l/acc
+                    # accumulators) -- kept as a knob, but the round-4 TPU
+                    # sweep measured it SLOWER than the single pass despite
+                    # its ~2x traffic cut (config docstring).
                     CH = cfg.decode_scan_chunk or L
                     assert L % CH == 0, (CH, L)
                     N, H = q.shape[1], q.shape[2]
@@ -567,58 +563,93 @@ class Reformer:
                     sk_l, sv_l, sb_l = sk[ish], sv[ish], sb[ish]
                     if quant:
                         sks_l, svs_l = sks[ish], svs[ish]     # [B, N, L] f32
-
-                    def chunk_body(j, carry):
-                        m_run, l_run, acc = carry
-                        off = j * CH
-                        ks = jax.lax.dynamic_slice(
-                            sk_l, (0, 0, 0, off), (B, N, H, CH))
-                        vs = jax.lax.dynamic_slice(
-                            sv_l, (0, 0, 0, off), (B, N, H, CH))
-                        bs = jax.lax.dynamic_slice(
-                            sb_l, (0, 0, 0, off), (B, N, R, CH))
-                        pos = off + jnp.arange(CH)
+                    if CH == L:
+                        # Fused single-pass form (the round-2 measured shape,
+                        # 15.7k tok/s @ b128 bf16): no fori_loop -- a
+                        # full-size dynamic_slice inside the loop body
+                        # materializes a COPY of the cache, doubling the HBM
+                        # traffic of this bandwidth-bound step -- and the R
+                        # hash rounds collapse into the probability tensor
+                        # BEFORE the V contraction (sum_r w_r*softmax_r then
+                        # one [bnl]x[bnhl] einsum), so V streams exactly once.
+                        pos = jnp.arange(L)
                         sc0 = jnp.einsum(
-                            'bnh,bnhl->bnl', q, ks.astype(dtype),
+                            'bnh,bnhl->bnl', q, sk_l.astype(dtype),
                             preferred_element_type=jnp.float32)  # keys carry scale
                         if quant:   # fold the int8 row scales back in
-                            sc0 = sc0 * jax.lax.dynamic_slice(
-                                sks_l, (0, 0, off), (B, N, CH))
+                            sc0 = sc0 * sks_l
                         sc0 = jnp.where((pos == t)[None, None],
                                         sc0 + SELF_BIAS, sc0)
                         mask = (pos <= t)[None, None, None] & \
-                            ((bs == bt[..., None])
+                            ((sb_l == bt[..., None])
                              | (pos >= chunk_start)[None, None, None])
                         sc = jnp.where(mask, sc0[:, :, None], NEG_INF)
-                        m_new = jnp.maximum(m_run, jnp.max(sc, axis=-1))
-                        # explicit mask on p: an all-masked chunk would
-                        # otherwise exp(NEG_INF - NEG_INF) = 1 before any
-                        # valid key raises m_run above the mask floor
-                        p = jnp.where(mask, jnp.exp(sc - m_new[..., None]), 0.0)
-                        alpha = jnp.exp(m_run - m_new)
-                        l_run = l_run * alpha + jnp.sum(p, axis=-1)
-                        pv = p
+                        lse = jax.nn.logsumexp(sc, axis=-1)       # [B, N, R]
+                        pr = jnp.exp(sc - lse[..., None])
+                        if R > 1:
+                            pr = pr * jax.nn.softmax(lse, axis=-1)[..., None]
+                        prc = pr.sum(axis=2)                      # [B, N, L]
                         if quant:   # fold v scales into the probabilities
-                            pv = p * jax.lax.dynamic_slice(
-                                svs_l, (0, 0, off), (B, N, CH))[:, :, None]
-                        acc = acc * alpha[..., None] + jnp.einsum(
-                            'bnrl,bnhl->bnrh', pv.astype(dtype), vs.astype(dtype),
-                            preferred_element_type=jnp.float32)
-                        return m_new, l_run, acc
-
-                    init = (jnp.full((B, N, R), NEG_INF, jnp.float32),
-                            jnp.zeros((B, N, R), jnp.float32),
-                            jnp.zeros((B, N, R, cfg.d_head), jnp.float32))
-                    m_run, l_run, acc = jax.lax.fori_loop(
-                        0, t // CH + 1, chunk_body, init)
-                    lse = m_run + jnp.log(jnp.maximum(l_run, 1e-30))
-                    ctx_r = acc / jnp.maximum(l_run, 1e-30)[..., None]
-                    if R > 1:
-                        # round combine: sum_r softmax_r(lse) * ctx_r
-                        ctx = jnp.sum(jax.nn.softmax(lse, axis=-1)[..., None]
-                                      * ctx_r, axis=2).astype(dtype)
+                            prc = prc * svs_l
+                        ctx = jnp.einsum('bnl,bnhl->bnh', prc.astype(dtype),
+                                         sv_l.astype(dtype),
+                                         preferred_element_type=jnp.float32
+                                         ).astype(dtype)
                     else:
-                        ctx = ctx_r[:, :, 0].astype(dtype)
+                        def chunk_body(j, carry):
+                            m_run, l_run, acc = carry
+                            off = j * CH
+                            ks = jax.lax.dynamic_slice(
+                                sk_l, (0, 0, 0, off), (B, N, H, CH))
+                            vs = jax.lax.dynamic_slice(
+                                sv_l, (0, 0, 0, off), (B, N, H, CH))
+                            bs = jax.lax.dynamic_slice(
+                                sb_l, (0, 0, 0, off), (B, N, R, CH))
+                            pos = off + jnp.arange(CH)
+                            sc0 = jnp.einsum(
+                                'bnh,bnhl->bnl', q, ks.astype(dtype),
+                                preferred_element_type=jnp.float32)  # keys carry scale
+                            if quant:   # fold the int8 row scales back in
+                                sc0 = sc0 * jax.lax.dynamic_slice(
+                                    sks_l, (0, 0, off), (B, N, CH))
+                            sc0 = jnp.where((pos == t)[None, None],
+                                            sc0 + SELF_BIAS, sc0)
+                            mask = (pos <= t)[None, None, None] & \
+                                ((bs == bt[..., None])
+                                 | (pos >= chunk_start)[None, None, None])
+                            sc = jnp.where(mask, sc0[:, :, None], NEG_INF)
+                            m_new = jnp.maximum(m_run, jnp.max(sc, axis=-1))
+                            # explicit mask on p: an all-masked chunk would
+                            # otherwise exp(NEG_INF - NEG_INF) = 1 before any
+                            # valid key raises m_run above the mask floor
+                            p = jnp.where(mask,
+                                          jnp.exp(sc - m_new[..., None]), 0.0)
+                            alpha = jnp.exp(m_run - m_new)
+                            l_run = l_run * alpha + jnp.sum(p, axis=-1)
+                            pv = p
+                            if quant:   # fold v scales into the probabilities
+                                pv = p * jax.lax.dynamic_slice(
+                                    svs_l, (0, 0, off), (B, N, CH))[:, :, None]
+                            acc = acc * alpha[..., None] + jnp.einsum(
+                                'bnrl,bnhl->bnrh', pv.astype(dtype),
+                                vs.astype(dtype),
+                                preferred_element_type=jnp.float32)
+                            return m_new, l_run, acc
+
+                        init = (jnp.full((B, N, R), NEG_INF, jnp.float32),
+                                jnp.zeros((B, N, R), jnp.float32),
+                                jnp.zeros((B, N, R, cfg.d_head), jnp.float32))
+                        m_run, l_run, acc = jax.lax.fori_loop(
+                            0, t // CH + 1, chunk_body, init)
+                        lse = m_run + jnp.log(jnp.maximum(l_run, 1e-30))
+                        ctx_r = acc / jnp.maximum(l_run, 1e-30)[..., None]
+                        if R > 1:
+                            # round combine: sum_r softmax_r(lse) * ctx_r
+                            ctx = jnp.sum(
+                                jax.nn.softmax(lse, axis=-1)[..., None]
+                                * ctx_r, axis=2).astype(dtype)
+                        else:
+                            ctx = ctx_r[:, :, 0].astype(dtype)
                 ctx = ctx.astype(dtype)
                 ish += 1
             a = jnp.einsum('bnh,nhd->bd', ctx, p['o'].astype(dtype),
