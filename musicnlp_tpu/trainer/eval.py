@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from musicnlp_tpu.models.transformer_xl import TransfoXL
-from musicnlp_tpu.models.transformer_xl import DecodeState
+from typing import Protocol
+
 from musicnlp_tpu.ops.sampling import (
     SampleConfig, beam_generate, contrastive_generate, generate_scan,
 )
@@ -182,11 +182,25 @@ def load_trained(out_dir: str, model_cls=None):
     return model, params, tokenizer
 
 
+class DecodableModel(Protocol):
+    """What MusicGenerator needs from a model: the incremental-decode
+    protocol both TransfoXL and Reformer implement.  A third model family
+    plugs in by providing these (cache batch axis = 1 by convention)."""
+    cfg: Any
+
+    def init_decode_state(self, batch_size: int): ...
+    def decode_step(self, params, token_ids, state): ...
+    def decode_step_with_hidden(self, params, token_ids, state): ...
+    def expand_decode_state(self, state, k: int): ...
+    def select_decode_state(self, state, idx): ...
+    def reorder_decode_state(self, state, idx): ...
+
+
 class MusicGenerator:
     """Batched autoregressive song generation + rendering."""
 
     def __init__(
-            self, model: TransfoXL, tokenizer: MusicTokenizer, params,
+            self, model: DecodableModel, tokenizer: MusicTokenizer, params,
             augment_key: bool = False, out_dir: str = 'generated',
     ):
         self.model = model
@@ -313,13 +327,10 @@ class MusicGenerator:
                 length_penalty = float(strategy_args.get('length_penalty', 1.0))
                 div_penalty = float(strategy_args.get('diversity_penalty', 1.0))
 
-                # models know their own cache layout (TF-XL and Reformer both
-                # carry batch on axis 1); fall back to TF-XL's DecodeState
-                reorder = getattr(model, 'reorder_decode_state', None)
-                if reorder is None:
-                    def reorder(st: DecodeState, idx):
-                        return DecodeState(st.cache_k[:, idx], st.cache_v[:, idx],
-                                           st.cache_pos, st.step)
+                # models know their own cache layout (part of the
+                # DecodableModel protocol; TF-XL and Reformer both carry
+                # batch on axis 1 and alias reorder to select)
+                reorder = model.reorder_decode_state
 
                 if n_groups > 1:
                     from musicnlp_tpu.ops.sampling import diverse_beam_generate
