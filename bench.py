@@ -406,6 +406,22 @@ def measure_reformer_decode(size: str, gen_len: int, bsz: int,
                                    dtype='bfloat16',
                                    decode_cache_quant=kv_quant,
                                    decode_scan_chunk=scan_chunk)
+    # Fail FAST on configs whose decode caches overflow HBM: an on-device
+    # OOM crashes the TPU worker, and a crashed worker can wedge the tunnel
+    # for hours (CLAUDE.md).  Measured: base/2048 bf16 b256 (~11 GB K/V +
+    # buckets) crashed the worker twice in the round-4 sweep; int8 b256
+    # (~6 GB) ran.  Estimate and refuse rather than crash.
+    n_lsh = sum(1 for a in cfg.attn_layers if a == 'lsh')
+    kv_bytes = 1 if kv_quant == 'int8' else 2
+    cache_gb = (2 * n_lsh * bsz * cfg.n_head * cfg.d_head * gen_len * kv_bytes
+                + n_lsh * bsz * cfg.n_head * cfg.n_hashes * gen_len * 2) / 2**30
+    limit_gb = float(os.environ.get('BENCH_HBM_LIMIT_GB') or 8.0)
+    if cache_gb > limit_gb:
+        raise SystemExit(
+            f'bench: decode caches ~{cache_gb:.1f} GB exceed the '
+            f'{limit_gb:.0f} GB guard (an on-device OOM crashes the TPU '
+            f'worker and can wedge the tunnel); shrink BENCH_BSZ or use '
+            f'BENCH_KV=int8, or raise BENCH_HBM_LIMIT_GB')
     model = Reformer(cfg)
     params = model.init(jax.random.PRNGKey(0))
     prompt = jax.random.randint(jax.random.PRNGKey(1), (bsz, 4), 8,
