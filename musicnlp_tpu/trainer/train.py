@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import shutil
 import time
 from dataclasses import asdict, dataclass
 from typing import Any, Dict, List, Optional, Tuple
@@ -58,6 +59,11 @@ class TrainArgs:
     eval_batch_size: Optional[int] = None
     logging_steps: int = 1
     save_per_epoch: bool = True
+    # Keep at most N epoch checkpoints on disk (HF save_total_limit
+    # semantics; the best-eval-loss checkpoint is always retained on top of
+    # the N most recent).  None/0 = keep everything.  A 256-epoch run at
+    # base size writes ~1.4 GB/checkpoint -- unrotated it fills the disk.
+    save_total_limit: Optional[int] = None
     load_best_model_at_end: bool = True    # on eval_loss (reference train.py:188)
     seed: int = 77
     n_seg: int = 1                         # >1: segment-scan TF-XL training
@@ -143,6 +149,7 @@ class Trainer:
         self.eval_dataset = eval_dataset
         self.args = args or TrainArgs()
         self.out_dir = out_dir or os.path.join('models', f'run_{int(time.time())}')
+        self._saved_ckpts: List[str] = []
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(n_model=n_model)
         # vocab-row-sharded embedding/head (262k tier): the model needs the
         # mesh for its shard_map CE, and params place with vocab-sharded specs
@@ -301,8 +308,10 @@ class Trainer:
                     path = self._save_checkpoint(epoch, params, opt_state)
                     if ev['loss'] < best_loss:
                         best_loss, best_path = ev['loss'], path
+                    self._rotate_checkpoints(best_path)
             elif args.save_per_epoch:
                 self._save_checkpoint(epoch, params, opt_state)
+                self._rotate_checkpoints(best_path)
             self._log(ep_rec)
             history.append(ep_rec)
         if args.load_best_model_at_end and best_path is not None:
@@ -325,7 +334,22 @@ class Trainer:
         ckpt.save_pytree(os.path.join(d, 'params'), params)
         ckpt.save_pytree(os.path.join(d, 'opt_state'), opt_state)
         ckpt.save_meta(os.path.join(d, 'state.json'), dict(epoch=epoch))
+        self._saved_ckpts.append(d)
         return d
+
+    def _rotate_checkpoints(self, best_path: Optional[str]) -> None:
+        """Prune to the save_total_limit most recent epoch checkpoints,
+        always additionally retaining the best-eval-loss one."""
+        limit = self.args.save_total_limit
+        if not limit:
+            return
+        keep = set(self._saved_ckpts[-limit:])
+        if best_path:
+            keep.add(best_path)
+        for d in [p for p in self._saved_ckpts if p not in keep]:
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+            self._saved_ckpts.remove(d)
 
     def evaluate(self, params) -> Dict[str, float]:
         args = self.args

@@ -153,7 +153,7 @@ def main():
     targs = TrainArgs.from_preset('transf-xl', args.model_size,
                                   num_train_epochs=args.epochs,
                                   batch_size=args.batch_size,
-                                  logging_steps=20)
+                                  logging_steps=20, save_total_limit=3)
     trainer = Trainer(model, tok, train, test, args=targs,
                       out_dir=os.path.join(out, 'model'))
     res = trainer.train()

@@ -90,7 +90,7 @@ def stage_train(out: str, model_size: str, epochs: int, batch_size: int,
         '22-11', [train_sd], eval_datasets=test_sd, out_dir=run_dir,
         overrides=dict(model_size=model_size),
         train_args=dict(num_train_epochs=epochs, batch_size=batch_size,
-                        logging_steps=50, seed=seed))
+                        logging_steps=50, seed=seed, save_total_limit=3))
     t0 = time.time()
     res = trainer.train()
     summ = summarize_run(trainer.log_path)

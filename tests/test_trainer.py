@@ -497,3 +497,29 @@ def test_vocab_sharded_head_matches_replicated():
     d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                      jax.device_get(g_r), jax.device_get(g_s))
     assert max(jax.tree.leaves(d)) < 1e-4, d
+
+
+def test_checkpoint_rotation_keeps_limit_plus_best(setup, tmp_path_factory):
+    """save_total_limit prunes epoch checkpoints to the N most recent while
+    always retaining the best-eval-loss one (HF save_total_limit semantics).
+    Regression for the round-4 real-corpus run: 256 unrotated checkpoints
+    (~470 MB each) filled the disk and the final trained.npz write crashed."""
+    model, tok, train, evald = setup
+    out = str(tmp_path_factory.mktemp('rot'))
+    args = TrainArgs(batch_size=8, learning_rate=3e-3, weight_decay=0.0,
+                     lr_scheduler_type='constant', num_train_epochs=6,
+                     logging_steps=100, save_total_limit=2)
+    tr = Trainer(model, tok, train, evald, args=args, out_dir=out)
+    tr.train()
+    kept = sorted(glob.glob(os.path.join(out, 'checkpoint-ep*')))
+    eps = sorted(int(os.path.basename(d).split('ep')[1]) for d in kept)
+    # best epoch (monotone-ish loss makes it usually the last; derive it)
+    log = [json.loads(l) for l in open(tr.log_path)]
+    evals = [(r['eval_loss'], r['epoch']) for r in log if 'eval_loss' in r]
+    best_ep = min(evals)[1]
+    assert len(kept) <= 3, kept                  # 2 recent + possibly best
+    assert eps[-2:] == [4, 5], eps               # the 2 most recent
+    assert best_ep in eps, (best_ep, eps)        # best always retained
+    # the final artifacts still save
+    assert os.path.exists(os.path.join(out, 'trained.npz'))
+    assert os.path.exists(os.path.join(out, 'meta.json'))
