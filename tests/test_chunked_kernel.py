@@ -9,7 +9,8 @@ import pytest
 from musicnlp_tpu.ops.pallas.chunked_attention_kernel import (
     chunked_window_attn)
 
-ATTN = functools.partial(chunked_window_attn, interpret=True)
+def ATTN(*a, form='windows', **kw):
+    return chunked_window_attn(*a, interpret=True, form=form, **kw)
 
 
 def dense_oracle(q, k, v, qpos, kpos, *, chunk, scale, self_bias=0.0):
@@ -46,14 +47,15 @@ def _mk(G=3, T=256, D=32, chunk=32, seed=0, perm=False, pads=0):
     return q, k, v, qpos, kpos
 
 
+@pytest.mark.parametrize('form', ['windows', 'twodot'])
 @pytest.mark.parametrize('perm,self_bias,pads', [
     (False, 0.0, 0), (False, 0.0, 40), (True, -1e5, 0), (True, -1e5, 24),
 ])
-def test_kernel_matches_dense(perm, self_bias, pads):
+def test_kernel_matches_dense(perm, self_bias, pads, form):
     chunk = 32
     q, k, v, qpos, kpos = _mk(perm=perm, pads=pads)
     got, got_lse = ATTN(q, k, v, qpos, kpos, chunk=chunk, scale=0.125,
-                        self_bias=self_bias)
+                        self_bias=self_bias, form=form)
     want, want_lse = dense_oracle(q, k, v, qpos, kpos, chunk=chunk,
                                   scale=0.125, self_bias=self_bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -62,17 +64,19 @@ def test_kernel_matches_dense(perm, self_bias, pads):
                                rtol=2e-4, atol=2e-4)
 
 
-def test_kernel_single_block():
+@pytest.mark.parametrize('form', ['windows', 'twodot'])
+def test_kernel_single_block(form):
     """T == m*chunk edge: one grid block, no look-back block exists."""
     q, k, v, qpos, kpos = _mk(G=2, T=64, D=32, chunk=32, seed=3)
-    got, _ = ATTN(q, k, v, qpos, kpos, chunk=32, scale=0.2)
+    got, _ = ATTN(q, k, v, qpos, kpos, chunk=32, scale=0.2, form=form)
     want, _ = dense_oracle(q, k, v, qpos, kpos, chunk=32, scale=0.2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize('form', ['windows', 'twodot'])
 @pytest.mark.parametrize('perm', [False, True])
-def test_kernel_gradients_match(perm):
+def test_kernel_gradients_match(perm, form):
     chunk = 32
     q, k, v, qpos, kpos = _mk(G=2, T=128, D=32, chunk=chunk, seed=7,
                               perm=perm, pads=8)
@@ -80,7 +84,7 @@ def test_kernel_gradients_match(perm):
 
     def loss_k(q, k, v):
         ctx, lse = ATTN(q, k, v, qpos, kpos, chunk=chunk, scale=0.125,
-                        self_bias=-1e5 if perm else 0.0)
+                        self_bias=-1e5 if perm else 0.0, form=form)
         return jnp.sum(ctx * w) + jnp.sum(lse)
 
     def loss_o(q, k, v):
