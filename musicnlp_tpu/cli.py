@@ -184,7 +184,7 @@ def _cmd_generate(a) -> int:
         prompt_args['n_bar'] = a.n_bar
     outs = gen(mode=mode, strategy=a.strategy, n_song=a.n, seed=a.seed,
                max_length=a.max_length, prompt_args=prompt_args,
-               **strategy_args)
+               repair=a.repair, **strategy_args)
     for o in outs:
         print(o.get('mxl') or o['text'][:80])
     return 0
@@ -261,6 +261,11 @@ def build_parser() -> argparse.ArgumentParser:
                         'the bandwidth-bound decode scan (TF-XL ring and '
                         "Reformer 'scan'-mode LSH caches)")
     g.add_argument('--max-length', type=int, default=None)
+    g.add_argument('--repair', default='full',
+                   choices=['none', 'grammar', 'full'],
+                   help="post-sample token repair before rendering: 'full' "
+                        'also exact-fills bar durations so every output '
+                        're-extracts under the strict grammar')
     g.add_argument('--seed', type=int, default=None)
     g.add_argument('--key', help='prompt key for key-augmented models, e.g. CMajor')
     g.add_argument('--condition-on', help='extracted .mxl (or token string) to continue')

@@ -34,7 +34,7 @@ from musicnlp_tpu.utils.checkpoint import restore_pytree
 from musicnlp_tpu.vocab import MusicTokenizer, MusicVocabulary, VocabType
 
 __all__ = ['MusicGenerator', 'truncate_first_n_bar', 'truncate_last_bar',
-           'repair_generated', 'load_trained']
+           'repair_generated', 'repair_bar_durations', 'load_trained']
 
 
 def truncate_first_n_bar(text: str, n_bar: int, vocab: MusicVocabulary) -> str:
@@ -142,6 +142,169 @@ def repair_generated(text: str, vocab: MusicVocabulary) -> str:
                 v.meta2tok(VocabType.duration, 4)]
     out.append(v.end_of_song)
     return ' '.join(out)
+
+
+def repair_bar_durations(text: str, vocab: MusicVocabulary) -> str:
+    """Exact-fill bar repair: make every channel of every bar sum to the
+    time signature's capacity, so the rendered MXL re-extracts under the
+    strict grammar.
+
+    A sampled model emits bars whose durations overflow or underfill the
+    meter; the reference renders them anyway (34% of its own shipped 22-11
+    generation MXLs fail its extraction grammar with 'invalid bar' totals --
+    measured in artifacts/real_corpus_eval.json).  This pass (applied after
+    `repair_generated`, whose output grammar it assumes):
+      * truncates the note that crosses the bar capacity (its remainder is
+        re-emitted as vocab durations) and drops anything after it;
+      * drops a tuplet group that crosses the boundary (its total is a
+        vocab duration, but splitting members is musically meaningless);
+      * pads an underfull channel with rests;
+      * adds an all-rest channel when a bar lacks <melody> or <bass>;
+      * coalesces repeated channel markers (a sampled bar often reads
+        `<melody> .. <bass> .. <melody> ..`; segments merge in order into
+        one melody + one bass channel, the only shape the grammar admits);
+      * drops rare-duration (unrenderable, zero-length) elements.
+    All duration tokens are multiples of the vocab slot, so exact fills
+    always exist.  Returns the input unchanged when every bar already fits
+    -- callers can use `text == repaired` as the pre-repair validity rate,
+    the symmetric quality metric vs the reference's shipped generations.
+    """
+    from fractions import Fraction
+
+    v = vocab
+    toks = text.split()
+    head: List[str] = []
+    i = 0
+    while i < len(toks) and toks[i] != v.start_of_bar:
+        if toks[i] != v.end_of_song:
+            head.append(toks[i])
+        i += 1
+    ts = next((t for t in head if v.type(t) == VocabType.time_sig), None)
+    if ts is None:
+        return text
+    meta = v.tok2meta(ts)
+    if meta is None or meta[0] is None:     # TimeSig_rare: substitute common
+        num, den = 4, 4                     # time so the song stays renderable
+        head[head.index(ts)] = v.meta2tok(VocabType.time_sig, (4, 4))
+        ts_changed = True
+    else:
+        num, den = meta
+        ts_changed = False
+    cap = Fraction(num * 4, den)
+    durs = [d for d in v.get_durations(exp='dur')]
+    durs = [Fraction(d) for d in durs if Fraction(d) <= cap]
+    max_d = max(durs)
+
+    def decomp(r: Fraction) -> List[Fraction]:
+        out = []
+        while r > 0:
+            d = min(r, max_d)
+            out.append(d)
+            r -= d
+        return out
+
+    def d_tok(f: Fraction):
+        return v.meta2tok(VocabType.duration, int(f) if f.denominator == 1
+                          else f)
+
+    def dur_of(t) -> Optional[Fraction]:
+        m = v.tok2meta(t)
+        return None if m is None else Fraction(m)
+
+    # parse bars -> [channel marker, [elements]] with elements
+    # ('n', pitch, dur) | ('t', [pitches], dur)
+    bars = []
+    cur_bar = None
+    cur_ch = None
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        if t == v.start_of_bar:
+            cur_bar = []
+            bars.append(cur_bar)
+            cur_ch = None
+            i += 1
+        elif t == v.end_of_song:
+            break
+        elif t in (v.start_of_melody, v.start_of_bass):
+            cur_ch = (t, [])
+            cur_bar.append(cur_ch)
+            i += 1
+        elif t == v.start_of_tuplet:
+            j = i + 1
+            grp = []
+            while toks[j] != v.end_of_tuplet:
+                grp.append(toks[j])
+                j += 1
+            if cur_ch is not None:
+                cur_ch[1].append(('t', grp[:-1], grp[-1]))
+            i = j + 1
+        else:
+            # post-repair_generated grammar: pitch followed by duration
+            if cur_ch is not None and i + 1 < n \
+                    and v.type(t) == VocabType.pitch \
+                    and v.type(toks[i + 1]) == VocabType.duration:
+                cur_ch[1].append(('n', t, toks[i + 1]))
+                i += 2
+            else:
+                i += 1
+
+    changed = ts_changed
+    out = list(head)
+    for bar in bars:
+        # coalesce repeated channel markers: all melody segments merge (in
+        # order) into one channel, likewise bass -- the grammar admits only
+        # `<bar> <melody> .. <bass> ..`
+        merged = {v.start_of_melody: [], v.start_of_bass: []}
+        for mark, elems in bar:
+            if len(merged[mark]) > 0:
+                changed = True
+            merged[mark].extend(elems)
+        rest_fill = [('n', v.rest, d_tok(f)) for f in decomp(cap)]
+        for mark in merged:
+            if not merged[mark]:
+                merged[mark] = list(rest_fill)
+                changed = True
+        if bar and [m for m, _ in bar] != [v.start_of_melody,
+                                           v.start_of_bass][:len(bar)]:
+            changed = True
+        out.append(v.start_of_bar)
+        for mark in (v.start_of_melody, v.start_of_bass):
+            elems = merged[mark]
+            kept = []
+            tot = Fraction(0)
+            for e in elems:
+                d = dur_of(e[2]) if e[2] is not None else None
+                if d is None:                       # rare/zero-length: drop
+                    changed = True
+                    continue
+                if tot + d <= cap:
+                    kept.append(e)
+                    tot += d
+                    if tot == cap:
+                        if e is not elems[-1]:
+                            changed = True          # trailing overflow drops
+                        break
+                    continue
+                changed = True
+                rem = cap - tot
+                if e[0] == 'n' and rem > 0:         # truncate the note
+                    for f in decomp(rem):
+                        kept.append(('n', e[1], d_tok(f)))
+                    tot = cap
+                break                               # drop the rest
+            if tot < cap:                           # pad with rests
+                changed = True
+                for f in decomp(cap - tot):
+                    kept.append(('n', v.rest, d_tok(f)))
+            out.append(mark)
+            for e in kept:
+                if e[0] == 'n':
+                    out += [e[1], e[2]]
+                else:
+                    out += [v.start_of_tuplet, *e[1], e[2], v.end_of_tuplet]
+    out.append(v.end_of_song)
+    return ' '.join(out) if changed else text
 
 
 def load_trained(out_dir: str, model_cls=None):
@@ -377,9 +540,18 @@ class MusicGenerator:
     def __call__(
             self, mode: str = 'unconditional', strategy: str = 'sample',
             n_song: int = 1, prompt_args: Dict = None, save: bool = True,
-            seed: int = None, max_length: int = None, **strategy_args,
+            seed: int = None, max_length: int = None, repair: str = 'full',
+            **strategy_args,
     ) -> List[Dict[str, Any]]:
-        """Generate n songs and render them (reference eval.py:200-395)."""
+        """Generate n songs and render them (reference eval.py:200-395).
+
+        repair: 'none' renders the raw sampled tokens (the reference's
+        behavior -- 34% of its shipped 22-11 MXLs fail its own extraction
+        grammar); 'grammar' applies `repair_generated`; 'full' (default)
+        additionally exact-fills bar durations (`repair_bar_durations`) so
+        every rendered file re-extracts.  Each record carries
+        `bar_durations_valid`: whether the grammar-repaired text already had
+        exact bars (the raw-validity quality metric, repair-independent)."""
         pa = dict(prompt_args or {})
         if mode == 'unconditional':
             prompts = [self.unconditional_prompt(
@@ -398,12 +570,19 @@ class MusicGenerator:
         dt = time.time() - t0
         outs = []
         os.makedirs(self.out_dir, exist_ok=True)
+        assert repair in ('none', 'grammar', 'full'), repair
         for i, text in enumerate(texts):
             text = truncate_last_bar(text, self.vocab)
-            text = repair_generated(text, self.vocab)
-            rec = dict(text=text, prompt=prompts[i], strategy=strategy,
+            rec = dict(prompt=prompts[i], strategy=strategy,
                        strategy_args=strategy_args, mode=mode,
                        generation_seconds=dt / len(texts))
+            if repair != 'none':
+                text = repair_generated(text, self.vocab)
+                filled = repair_bar_durations(text, self.vocab)
+                rec['bar_durations_valid'] = filled == text
+                if repair == 'full':
+                    text = filled
+            rec['text'] = text
             if save:
                 stem = f'{time.strftime("%y-%m-%d_%H%M%S")}_{i}'
                 score = self.converter.str2score(

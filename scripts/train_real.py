@@ -159,16 +159,22 @@ def stage_generate(out: str, model_size: str, n_uncond: int = 16,
     print(f'[generate] {len(texts)} songs in {dt:.1f}s '
           f'({sum(len(t.split()) for t in texts)} tokens)', flush=True)
 
-    from musicnlp_tpu.trainer.eval import repair_generated, truncate_last_bar
+    from musicnlp_tpu.trainer.eval import (
+        repair_bar_durations, repair_generated, truncate_last_bar,
+    )
     os.makedirs(gen_dir, exist_ok=True)
-    n_render_fail = 0
+    n_render_fail = n_raw_valid = 0
     for i, (text, meta) in enumerate(zip(texts, metas)):
         text = truncate_last_bar(text, gen.vocab)
         text = repair_generated(text, gen.vocab)
-        rec = dict(meta, text=text, prompt=prompts[i])
+        filled = repair_bar_durations(text, gen.vocab)
+        raw_valid = filled == text
+        n_raw_valid += raw_valid
+        rec = dict(meta, text=filled, raw_text=text,
+                   bar_durations_valid=raw_valid, prompt=prompts[i])
         stem = f'real_{model_size}_{i:03d}'
         try:
-            score = gen.converter.str2score(text, pitch_kind=tok.pitch_kind,
+            score = gen.converter.str2score(filled, pitch_kind=tok.pitch_kind,
                                             title=stem)
             score.write_mxl(os.path.join(gen_dir, f'{stem}.mxl'))
             score.write_midi(os.path.join(gen_dir, f'{stem}.mid'))
@@ -178,12 +184,69 @@ def stage_generate(out: str, model_size: str, n_uncond: int = 16,
         with open(os.path.join(gen_dir, f'{stem}.json'), 'w') as f:
             json.dump(rec, f)
     rec = dict(n_generated=len(texts), n_render_fail=n_render_fail,
+               n_raw_bar_valid=n_raw_valid,
+               raw_bar_valid_ratio=round(n_raw_valid / max(len(texts), 1), 4),
                gen_seconds=round(dt, 1), top_k=top_k, n_bar=n_bar,
                max_length=max_length, gen_dir=gen_dir)
     with open(os.path.join(gen_dir, 'generate_summary.json'), 'w') as f:
         json.dump(rec, f, indent=2)
     print('[generate]', json.dumps(rec), flush=True)
     return rec
+
+
+# ----------------------------------------------------------------- rerender
+def stage_rerender(out: str, model_size: str) -> dict:
+    """Re-render MXL/MIDI from the texts saved by an earlier generate stage,
+    re-applying the current repair chain (CPU-only; no model needed).  Used
+    to refresh renders after repair/render fixes without re-sampling."""
+    from musicnlp_tpu.preprocess.music_converter import MusicConverter
+    from musicnlp_tpu.trainer.eval import repair_bar_durations
+    from musicnlp_tpu.vocab import MusicVocabulary
+
+    gen_dir = os.path.join(out, f'generated_{model_size}')
+    v = MusicVocabulary(pitch_kind='degree')
+    mc = MusicConverter(mode='full')
+    paths = sorted(glob.glob(os.path.join(gen_dir,
+                                          f'real_{model_size}_*.json')))
+    n_render_fail = n_raw_valid = n = 0
+    for p in paths:
+        with open(p) as f:
+            rec = json.load(f)
+        if 'text' not in rec:
+            continue
+        n += 1
+        raw = rec.get('raw_text', rec['text'])
+        filled = repair_bar_durations(raw, v)
+        raw_valid = filled == raw
+        n_raw_valid += raw_valid
+        rec.update(text=filled, raw_text=raw, bar_durations_valid=raw_valid)
+        rec.pop('render_error', None)
+        stem = os.path.basename(p)[:-5]
+        try:
+            score = mc.str2score(filled, pitch_kind='degree', title=stem)
+            score.write_mxl(os.path.join(gen_dir, f'{stem}.mxl'))
+            score.write_midi(os.path.join(gen_dir, f'{stem}.mid'))
+        except Exception as e:
+            n_render_fail += 1
+            rec['render_error'] = f'{type(e).__name__}: {e}'
+        with open(p, 'w') as f:
+            json.dump(rec, f)
+    # drop the stale extraction cache so a following score stage re-extracts
+    import shutil
+    shutil.rmtree(os.path.join(out, f'our_gen_json_{model_size}'),
+                  ignore_errors=True)
+    gs = os.path.join(gen_dir, 'generate_summary.json')
+    summ = {}
+    if os.path.exists(gs):
+        with open(gs) as f:
+            summ = json.load(f)
+    summ.update(n_generated=n, n_render_fail=n_render_fail,
+                n_raw_bar_valid=n_raw_valid,
+                raw_bar_valid_ratio=round(n_raw_valid / max(n, 1), 4))
+    with open(gs, 'w') as f:
+        json.dump(summ, f, indent=2)
+    print('[rerender]', json.dumps(summ), flush=True)
+    return summ
 
 
 # -------------------------------------------------------------------- score
@@ -330,7 +393,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--out', default='/tmp/real')
     ap.add_argument('--stage', default='all',
-                    choices=['all', 'extract', 'train', 'generate', 'score'])
+                    choices=['all', 'extract', 'train', 'generate',
+                             'rerender', 'score'])
     ap.add_argument('--model-size', default='small')
     ap.add_argument('--epochs', type=int, default=256)
     ap.add_argument('--batch-size', type=int, default=18)
@@ -350,6 +414,8 @@ def main():
                     seed=args.seed)
     if args.stage in ('all', 'generate'):
         stage_generate(args.out, args.model_size, seed=args.seed)
+    if args.stage == 'rerender':
+        stage_rerender(args.out, args.model_size)
     if args.stage in ('all', 'score'):
         sizes = [args.model_size] if args.stage != 'score' else \
             [d.split('_', 1)[1] for d in sorted(os.listdir(args.out))

@@ -203,3 +203,100 @@ def test_visualize_breadth(tmp_path):
     assert all(os.path.getsize(p) > 0 for p in paths)
     assert any('weighted_pitch' in p for p in paths)
     assert any('coverage' in p for p in paths)
+
+
+# ------------------------------------------------- repair_bar_durations
+def test_repair_bar_durations_valid_unchanged():
+    from musicnlp_tpu.trainer.eval import repair_bar_durations
+    v = MusicVocabulary(pitch_kind='midi')
+    assert repair_bar_durations(sample_full_midi, v) == sample_full_midi
+
+
+def test_repair_bar_durations_overflow_and_underfill():
+    from musicnlp_tpu.trainer.eval import repair_bar_durations
+    v = MusicVocabulary(pitch_kind='midi')
+    txt = ('TimeSig_4/4 Tempo_120 '
+           '<bar> <melody> p_1/4 d_2 p_5/4 d_4 '        # 6 QL: overflow
+           '<bass> p_1/3 d_2 p_3/3 d_1 '                # 3 QL: underfill
+           '</s>')
+    rep = repair_bar_durations(txt, v)
+    assert rep != txt
+    bar = rep.split('<bar>')[1]
+    mel = bar.split('<bass>')[0]
+    # the crossing note is truncated to the 2 QL remainder
+    assert 'p_5/4 d_2' in mel and 'd_4' not in mel
+    # bass padded with a 1 QL rest
+    assert 'p_r d_1' in bar.split('<bass>')[1]
+    # idempotent
+    assert repair_bar_durations(rep, v) == rep
+
+
+def test_repair_bar_durations_coalesces_repeated_channels():
+    from musicnlp_tpu.trainer.eval import repair_bar_durations
+    v = MusicVocabulary(pitch_kind='midi')
+    txt = ('TimeSig_4/4 Tempo_120 '
+           '<bar> <melody> p_1/4 d_2 <bass> p_1/3 d_2 '
+           '<melody> p_5/4 d_2 <bass> p_3/3 d_2 '
+           '</s>')
+    rep = repair_bar_durations(txt, v)
+    toks = rep.split()
+    # exactly one marker of each kind, melody first
+    assert toks.count(v.start_of_melody) == 1
+    assert toks.count(v.start_of_bass) == 1
+    assert toks.index(v.start_of_melody) < toks.index(v.start_of_bass)
+    # merged in order: melody = p_1/4 d_2 p_5/4 d_2 (sums to capacity)
+    bar = rep.split('<bar>')[1]
+    assert bar.split('<bass>')[0].split()[:5] == [
+        '<melody>', 'p_1/4', 'd_2', 'p_5/4', 'd_2']
+
+
+def test_repair_bar_durations_missing_channel_and_rare_timesig():
+    from musicnlp_tpu.trainer.eval import repair_bar_durations
+    v = MusicVocabulary(pitch_kind='midi')
+    txt = ('TimeSig_rare Tempo_120 '
+           '<bar> <melody> p_1/4 d_4 '
+           '</s>')
+    rep = repair_bar_durations(txt, v)
+    assert 'TimeSig_4/4' in rep and 'TimeSig_rare' not in rep
+    assert '<bass> p_r d_4' in rep
+
+
+def test_repair_bar_durations_tuplet_boundary_drop():
+    from musicnlp_tpu.trainer.eval import repair_bar_durations
+    v = MusicVocabulary(pitch_kind='midi')
+    txt = ('TimeSig_4/4 Tempo_120 '
+           '<bar> <melody> p_1/4 d_3 <tup> p_1/4 p_5/4 p_8/4 d_2 </tup> '
+           '<bass> p_1/3 d_2 <tup> p_1/3 p_5/3 p_8/3 d_2 </tup> '
+           '</s>')
+    rep = repair_bar_durations(txt, v)
+    bar = rep.split('<bar>')[1]
+    mel, bass = bar.split('<bass>')
+    assert '<tup>' not in mel          # crossing tuplet dropped, rest-padded
+    assert 'p_r d_1' in mel
+    assert '<tup>' in bass             # in-capacity tuplet kept
+
+
+def test_repair_bar_durations_render_reextract_roundtrip(tmp_path):
+    """The full contract: repaired text renders to MXL and re-extracts
+    token-exactly under the strict extraction grammar."""
+    from musicnlp_tpu.preprocess.music_extractor import MusicExtractor
+    from musicnlp_tpu.trainer.eval import repair_bar_durations
+    v = MusicVocabulary(pitch_kind='midi')
+    txt = ('TimeSig_4/4 Tempo_120 '
+           '<bar> <melody> p_1/4 d_2 p_5/4 d_4 <bass> p_1/3 d_1 '
+           '<melody> p_8/4 d_1 '
+           '<bar> <bass> p_1/3 d_4 '
+           '</s>')
+    rep = repair_bar_durations(txt, v)
+    mc = MusicConverter(mode='full')
+    score = mc.str2score(rep, pitch_kind='midi', title='repair-rt')
+    p = str(tmp_path / 'repair_rt.mxl')
+    score.write_mxl(p)
+    out = MusicExtractor(mode='full')(p)
+    assert ' '.join(out.split()[:2]) == 'TimeSig_4/4 Tempo_120'
+    # bar 1 round-trips token-exactly
+    assert out.split('<bar>')[1] == rep.split('<bar>')[1]
+    # bar 2 (one live channel): the extractor may swap which channel holds
+    # the note (melody = highest line); the note content round-trips
+    bar2 = out.split('<bar>')[2]
+    assert 'p_1/3 d_4' in bar2 and 'p_r d_4' in bar2
