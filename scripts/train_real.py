@@ -76,7 +76,7 @@ def stage_extract(out: str) -> dict:
 
 # -------------------------------------------------------------------- train
 def stage_train(out: str, model_size: str, epochs: int, batch_size: int,
-                seed: int = 0) -> dict:
+                seed: int = 0, resume_from: str | None = None) -> dict:
     from musicnlp_tpu.postprocess.train_plot import summarize_run
     from musicnlp_tpu.preprocess.dataset import SongDataset
     from musicnlp_tpu.trainer.train import setup_recipe
@@ -92,7 +92,7 @@ def stage_train(out: str, model_size: str, epochs: int, batch_size: int,
         train_args=dict(num_train_epochs=epochs, batch_size=batch_size,
                         logging_steps=50, seed=seed, save_total_limit=3))
     t0 = time.time()
-    res = trainer.train()
+    res = trainer.train(resume_from=resume_from)
     summ = summarize_run(trainer.log_path)
     rec = dict(model_size=model_size, epochs=epochs, batch_size=batch_size,
                n_train_songs=len(train_sd), n_test_songs=len(test_sd),
@@ -399,6 +399,9 @@ def main():
     ap.add_argument('--epochs', type=int, default=256)
     ap.add_argument('--batch-size', type=int, default=18)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--resume-from', default=None,
+                    help='epoch checkpoint dir to resume the train stage from'
+                         ' (crash recovery)')
     ap.add_argument('--platform', default=None,
                     help="e.g. 'cpu' to keep a smoke run off the TPU")
     args = ap.parse_args()
@@ -411,7 +414,7 @@ def main():
         stage_extract(args.out)
     if args.stage in ('all', 'train'):
         stage_train(args.out, args.model_size, args.epochs, args.batch_size,
-                    seed=args.seed)
+                    seed=args.seed, resume_from=args.resume_from)
     if args.stage in ('all', 'generate'):
         stage_generate(args.out, args.model_size, seed=args.seed)
     if args.stage == 'rerender':
