@@ -162,9 +162,15 @@ class TransfoXL:
         # embedding/head); every other sharding decision stays external
         # (param_specs + jit in_shardings), keeping the model mesh-free.
         self.mesh = mesh
-        if config.shard_vocab:
-            assert mesh is not None, \
-                'shard_vocab=True requires TransfoXL(cfg, mesh=mesh)'
+        # NB: cfg.shard_vocab needs a mesh, but it may be attached after
+        # construction (Trainer does: train.py::Trainer.__init__), so the
+        # requirement is enforced lazily where the mesh is consulted.
+
+    def _require_mesh(self):
+        assert self.mesh is not None, \
+            'shard_vocab=True needs a mesh: pass TransfoXL(cfg, mesh=mesh) ' \
+            'or set model.mesh before the first forward (Trainer does this)'
+        return self.mesh
 
     # ------------------------------------------------------------------ init
     def init(self, rng) -> Params:
@@ -228,7 +234,7 @@ class TransfoXL:
         if cfg.shard_vocab:
             from musicnlp_tpu.ops.sharded_head import vocab_sharded_embed
             h = vocab_sharded_embed(input_ids, params['embed']['weight'],
-                                    mesh=self.mesh, dtype=dtype)
+                                    mesh=self._require_mesh(), dtype=dtype)
         else:
             h = params['embed']['weight'].astype(dtype)[input_ids]
         h = h * jnp.asarray(emb_scale, dtype)
@@ -350,10 +356,12 @@ class TransfoXL:
             rng=None, deterministic: bool = True, n_seg: int = 1,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """CLM loss + aux metrics.  n_seg > 1 trains via segment-scan memory."""
-        assert not (self.cfg.head_chunk and self.cfg.adaptive_cutoffs), \
-            'head_chunk trains over the dense tied head while forward/decode ' \
-            'would score through the adaptive clusters -- training and ' \
-            'scoring would disagree for an imported adaptive checkpoint'
+        assert not ((self.cfg.head_chunk or self.cfg.shard_vocab)
+                    and self.cfg.adaptive_cutoffs), \
+            'head_chunk/shard_vocab train over the dense tied head while ' \
+            'forward/decode would score through the adaptive clusters -- ' \
+            'training and scoring would disagree for an imported adaptive ' \
+            'checkpoint'
         if n_seg <= 1:
             if self.cfg.shard_vocab:
                 from musicnlp_tpu.ops.sharded_head import vocab_sharded_ce_loss
@@ -361,7 +369,7 @@ class TransfoXL:
                                               deterministic=deterministic)
                 loss, n_tok, preds = vocab_sharded_ce_loss(
                     h, labels, params['embed']['weight'], params['out_bias'],
-                    mesh=self.mesh, chunk=self.cfg.head_chunk)
+                    mesh=self._require_mesh(), chunk=self.cfg.head_chunk)
                 acc = ntp_accuracy(preds, labels)
                 return loss, dict(ntp_acc=acc, n_tok=n_tok, preds=preds)
             if self.cfg.head_chunk:

@@ -216,7 +216,20 @@ def repair_bar_durations(text: str, vocab: MusicVocabulary) -> str:
     bars = []
     cur_bar = None
     cur_ch = None
+    orphan_ch = False
     n = len(toks)
+
+    def ensure_ch():
+        # notes before the bar's first channel marker (repair_generated is
+        # channel-agnostic, so they survive it) would otherwise render as a
+        # malformed channel split: adopt them into an implicit melody channel
+        nonlocal cur_ch, orphan_ch
+        if cur_ch is None and cur_bar is not None:
+            cur_ch = (v.start_of_melody, [])
+            cur_bar.append(cur_ch)
+            orphan_ch = True
+        return cur_ch
+
     while i < n:
         t = toks[i]
         if t == v.start_of_bar:
@@ -236,20 +249,20 @@ def repair_bar_durations(text: str, vocab: MusicVocabulary) -> str:
             while toks[j] != v.end_of_tuplet:
                 grp.append(toks[j])
                 j += 1
-            if cur_ch is not None:
+            if ensure_ch() is not None:
                 cur_ch[1].append(('t', grp[:-1], grp[-1]))
             i = j + 1
         else:
             # post-repair_generated grammar: pitch followed by duration
-            if cur_ch is not None and i + 1 < n \
-                    and v.type(t) == VocabType.pitch \
-                    and v.type(toks[i + 1]) == VocabType.duration:
+            if i + 1 < n and v.type(t) == VocabType.pitch \
+                    and v.type(toks[i + 1]) == VocabType.duration \
+                    and ensure_ch() is not None:
                 cur_ch[1].append(('n', t, toks[i + 1]))
                 i += 2
             else:
                 i += 1
 
-    changed = ts_changed
+    changed = ts_changed or orphan_ch
     out = list(head)
     for bar in bars:
         # coalesce repeated channel markers: all melody segments merge (in

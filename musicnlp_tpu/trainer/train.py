@@ -264,6 +264,16 @@ class Trainer:
             meta = ckpt.load_meta(os.path.join(resume_from, 'state.json'))
             start_epoch = int(meta['epoch']) + 1
             self._rng = train_key(args.seed + 104729 * start_epoch)
+            # adopt the crashed run's leftover epoch checkpoints so rotation
+            # prunes them too -- otherwise save_total_limit only bounds the
+            # new saves and the old pile keeps the disk full
+            import re
+            old = sorted(
+                (int(m.group(1)), os.path.join(self.out_dir, d))
+                for d in os.listdir(self.out_dir)
+                if (m := re.fullmatch(r'checkpoint-ep(\d+)', d))
+                and os.path.isdir(os.path.join(self.out_dir, d)))
+            self._saved_ckpts = [p for _, p in old]
         best_loss, best_path = float('inf'), None
         global_step = start_epoch * self.steps_per_epoch
         history: List[Dict] = []

@@ -12,9 +12,12 @@ mkdir -p artifacts
 run() {  # run <tag> <env...>
   local tag=$1; shift
   echo "=== $tag ($(date +%H:%M:%S)) ===" >&2
-  local line
-  line=$(env "$@" timeout 1800 python bench.py 2>/tmp/sweep_err.log | tail -1)
-  local rc=$?
+  local line rc
+  # pipefail inside the substitution: without it $? is tail's status
+  # (always 0) and a timed-out/crashed bench records rc=0 in the artifact
+  line=$(set -o pipefail;
+         env "$@" timeout 1800 python bench.py 2>/tmp/sweep_err.log | tail -1)
+  rc=$?
   if [ -n "$line" ]; then
     echo "{\"tag\": \"$tag\", \"rc\": $rc, \"result\": $line}" >> "$OUT"
   else

@@ -261,6 +261,27 @@ def test_repair_bar_durations_missing_channel_and_rare_timesig():
     assert '<bass> p_r d_4' in rep
 
 
+def test_repair_bar_durations_orphan_notes_before_channel_marker():
+    # notes before the bar's first channel marker survive repair_generated
+    # (it's channel-agnostic) and would render as a malformed channel split;
+    # the repair must adopt them into melody and report the text as changed
+    from musicnlp_tpu.trainer.eval import repair_bar_durations
+    v = MusicVocabulary(pitch_kind='midi')
+    txt = ('TimeSig_4/4 Tempo_120 '
+           '<bar> p_1/4 d_1 p_3/4 d_2 <melody> p_5/4 d_4 '
+           '<bass> p_1/3 d_4 '
+           '</s>')
+    rep = repair_bar_durations(txt, v)
+    assert rep != txt                       # must NOT be declared valid
+    bar = rep.split('<bar>')[1]
+    mel = bar.split('<bass>')[0].split()
+    # orphans lead the melody channel; the 4-QL note truncates to 1 QL
+    assert mel[:5] == ['<melody>', 'p_1/4', 'd_1', 'p_3/4', 'd_2']
+    assert 'p_5/4' in mel and 'd_4' not in mel
+    # idempotent and the repaired text round-trips as valid
+    assert repair_bar_durations(rep, v) == rep
+
+
 def test_repair_bar_durations_tuplet_boundary_drop():
     from musicnlp_tpu.trainer.eval import repair_bar_durations
     v = MusicVocabulary(pitch_kind='midi')

@@ -499,6 +499,34 @@ def test_vocab_sharded_head_matches_replicated():
     assert max(jax.tree.leaves(d)) < 1e-4, d
 
 
+def test_shard_vocab_late_mesh_attach():
+    """TransfoXL(cfg) with shard_vocab must construct WITHOUT a mesh (the
+    setup_recipe/CLI path builds the model first; Trainer attaches its mesh
+    afterwards, train.py::Trainer.__init__) and fail clearly only if a
+    forward runs before any mesh is attached."""
+    from dataclasses import replace
+    import pytest
+
+    cfg = TransfoXLConfig(
+        vocab_size=512, model_size='test', d_model=32, n_head=4, d_head=8,
+        d_inner=64, n_layer=1, mem_len=16, clamp_len=32, max_length=64,
+        dropout=0.0, dtype='float32', shard_vocab=True)
+    model = TransfoXL(cfg)            # no mesh: must not raise
+    params = model.init(jax.random.PRNGKey(0))
+    ids = jnp.zeros((2, 8), jnp.int32)
+    with pytest.raises(AssertionError, match='mesh'):
+        model.loss(params, ids, ids)
+    model.mesh = mesh_lib.make_mesh(n_data=2, n_model=4)  # Trainer's attach
+    l, _ = jax.jit(model.loss)(jax.device_put(params), ids, ids)
+    assert np.isfinite(float(l))
+    # adaptive softmax scores decode differently than the sharded train head:
+    # the combination must be rejected up front
+    cfg_bad = replace(cfg, adaptive_cutoffs=(128, 256))
+    model_bad = TransfoXL(cfg_bad, mesh=model.mesh)
+    with pytest.raises(AssertionError, match='adaptive'):
+        model_bad.loss(params, ids, ids)
+
+
 def test_checkpoint_rotation_keeps_limit_plus_best(setup, tmp_path_factory):
     """save_total_limit prunes epoch checkpoints to the N most recent while
     always retaining the best-eval-loss one (HF save_total_limit semantics).
