@@ -25,11 +25,80 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    'PT_LOSS_PAD', 'shifted_ce_loss', 'chunked_shifted_ce_loss',
-    'ntp_accuracy', 'ikr_from_ids',
+    'PT_LOSS_PAD', 'BIG_ARG', 'shifted_ce_loss', 'ce_tile_scan',
+    'chunked_shifted_ce_loss', 'ntp_accuracy', 'ikr_from_ids',
 ]
 
 PT_LOSS_PAD = -100
+# argmax sentinel: larger than any vocab id, so a pmin tie-break across
+# shards (ops/sharded_head.py) can discard non-winning shards' indices
+BIG_ARG = jnp.int32(2 ** 30)
+
+
+def ce_tile_scan(hq: jnp.ndarray, lb_safe: jnp.ndarray, embed_w: jnp.ndarray,
+                 out_bias: jnp.ndarray, *, chunk: Optional[int],
+                 lo_base=0, vary_axes: tuple = ()):
+    """Running (logsumexp, target-logit, max, argmax) over a [Vl, d] row
+    block scanned in `chunk`-column tiles -- the shared core of the exact
+    large-vocab CE, used by BOTH the replicated path
+    (chunked_shifted_ce_loss) and the vocab-row-sharded path
+    (ops/sharded_head.py, where `lo_base` is the shard's global row offset).
+
+    Each tile is one MXU-friendly [B*Tq, d] x [d, chunk] matmul;
+    `jax.checkpoint` on the tile body keeps backward memory at one tile.
+    Rows padded up to a chunk multiple get -1e30 bias so they can never win
+    argmax/lse.  Labels outside [lo_base, lo_base + Vl) contribute 0 to the
+    target partial, so a psum over shards combines exactly.  `vary_axes`:
+    under shard_map the scan carry must be cast device-varying (VMA typing).
+    Returns (lse, tgt, run_max, run_arg), each [B, Tq] (run_arg in GLOBAL
+    vocab ids; init sentinel BIG_ARG never survives -- every tile has a
+    finite max, so the first tile always wins).
+    """
+    B, Tq, d = hq.shape
+    vl = embed_w.shape[0]
+    hi_cap = lo_base + vl   # pad rows must not claim the NEXT shard's labels
+    chunk = min(chunk or vl, vl)
+    n_chunk = -(-vl // chunk)
+    v_pad = n_chunk * chunk
+    if v_pad != vl:
+        embed_w = jnp.pad(embed_w, ((0, v_pad - vl), (0, 0)))
+        out_bias = jnp.pad(out_bias, (0, v_pad - vl), constant_values=-1e30)
+
+    def tile(carry, ci):
+        lse, tgt, run_max, run_arg = carry
+        lo = ci * chunk
+
+        @jax.checkpoint
+        def tile_logits(hq, w, b):
+            return (jnp.einsum('btd,vd->btv', hq, w.astype(hq.dtype),
+                               preferred_element_type=jnp.float32)
+                    + b.astype(jnp.float32))
+
+        w_c = jax.lax.dynamic_slice(embed_w, (lo, 0), (chunk, d))
+        b_c = jax.lax.dynamic_slice(out_bias, (lo,), (chunk,))
+        lg = tile_logits(hq, w_c, b_c)                 # [B, Tq, chunk] f32
+        lse = jnp.logaddexp(lse, jax.nn.logsumexp(lg, axis=-1))
+        glo = lo_base + lo
+        in_c = (lb_safe >= glo) & (lb_safe < glo + chunk) & (lb_safe < hi_cap)
+        idx = jnp.clip(lb_safe - glo, 0, chunk - 1)
+        got = jnp.take_along_axis(lg, idx[..., None], axis=-1)[..., 0]
+        tgt = jnp.where(in_c, got, tgt)
+        c_max = jnp.max(lg, axis=-1)
+        c_arg = jnp.argmax(lg, axis=-1).astype(jnp.int32) + glo
+        better = c_max > run_max
+        run_max = jnp.where(better, c_max, run_max)
+        run_arg = jnp.where(better, c_arg, run_arg)
+        return (lse, tgt, run_max, run_arg), None
+
+    neg = jnp.full((B, Tq), -jnp.inf, jnp.float32)
+    init = (neg, jnp.zeros((B, Tq), jnp.float32), neg,
+            jnp.full((B, Tq), BIG_ARG))
+    if vary_axes:
+        init = jax.tree.map(
+            lambda x: jax.lax.pcast(x, vary_axes, to='varying'), init)
+    (lse, tgt, run_max, run_arg), _ = jax.lax.scan(
+        tile, init, jnp.arange(n_chunk, dtype=jnp.int32))
+    return lse, tgt, run_max, run_arg
 
 
 def shifted_ce_loss(
@@ -79,50 +148,12 @@ def chunked_shifted_ce_loss(
     Returns (mean_loss, n_valid, preds int32 [B, T]) with preds = argmax over
     the full vocab at every position (for NTP-acc/IKR).
     """
-    B, T, d = h.shape
-    V = embed_w.shape[0]
-    n_chunk = -(-V // chunk)
-    V_pad = n_chunk * chunk
-    if V_pad != V:
-        embed_w = jnp.pad(embed_w, ((0, V_pad - V), (0, 0)))
-        # padded rows get -inf bias so they can never win argmax/lse
-        out_bias = jnp.pad(out_bias, (0, V_pad - V), constant_values=-1e30)
-
     lb = labels[:, 1:]
     valid = lb != PT_LOSS_PAD
     lb_safe = jnp.where(valid, lb, 0)
     hq = h[:, :-1]                                     # positions that predict
-
-    def tile(carry, ci):
-        lse, tgt, run_max, run_arg = carry
-        lo = ci * chunk
-
-        @jax.checkpoint
-        def tile_logits(hq, w, b):
-            return (jnp.einsum('btd,vd->btv', hq, w.astype(hq.dtype),
-                               preferred_element_type=jnp.float32)
-                    + b.astype(jnp.float32))
-
-        w_c = jax.lax.dynamic_slice(embed_w, (lo, 0), (chunk, d))
-        b_c = jax.lax.dynamic_slice(out_bias, (lo,), (chunk,))
-        lg = tile_logits(hq, w_c, b_c)                 # [B, T-1, chunk] f32
-        lse = jnp.logaddexp(lse, jax.nn.logsumexp(lg, axis=-1))
-        in_c = (lb_safe >= lo) & (lb_safe < lo + chunk)
-        idx = jnp.clip(lb_safe - lo, 0, chunk - 1)
-        got = jnp.take_along_axis(lg, idx[..., None], axis=-1)[..., 0]
-        tgt = jnp.where(in_c, got, tgt)
-        c_max = jnp.max(lg, axis=-1)
-        c_arg = jnp.argmax(lg, axis=-1).astype(jnp.int32) + lo
-        better = c_max > run_max
-        run_max = jnp.where(better, c_max, run_max)
-        run_arg = jnp.where(better, c_arg, run_arg)
-        return (lse, tgt, run_max, run_arg), None
-
-    neg = jnp.full((B, T - 1), -jnp.inf, jnp.float32)
-    init = (neg, jnp.zeros((B, T - 1), jnp.float32), neg,
-            jnp.zeros((B, T - 1), jnp.int32))
-    (lse, tgt, _, run_arg), _ = jax.lax.scan(
-        tile, init, jnp.arange(n_chunk, dtype=jnp.int32))
+    lse, tgt, _, run_arg = ce_tile_scan(hq, lb_safe, embed_w, out_bias,
+                                        chunk=chunk)
 
     nll = lse - tgt
     n = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)

@@ -105,14 +105,8 @@ def _pos_windows(kpos_ref, kposp_ref, i, c, m):
     with NO dedicated [m, c, 2c] lane/chunk-index mask passes in the score
     kernel (those were ~6 extra VPU vreg passes per program, and the kernel
     is VPU-mask-bound -- see the module docstring's round-3 notes)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (m, c), 0)
     kp_self = kpos_ref[0]                                     # [m, c]
-    kp_prev = pltpu.roll(kp_self, 1, 0)                       # row j <- j-1
-    prev_last = kposp_ref[0, m - 1].reshape(1, c)
-    no_lookback = jnp.iinfo(jnp.int32).max
-    first_row = jnp.where(i > 0, jnp.broadcast_to(prev_last, (m, c)),
-                          no_lookback)
-    kp_prev = jnp.where(rows == 0, first_row, kp_prev)
+    kp_prev = _prev_pos(kpos_ref, kposp_ref, i, c, m)
     lane = jax.lax.broadcasted_iota(jnp.int32, (m, 2 * c), 1)
     pad = ((0, 0), (0, c))
     kp_prev_w = jnp.pad(kp_prev, pad)

@@ -23,12 +23,10 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from musicnlp_tpu.ops.losses import PT_LOSS_PAD
+from musicnlp_tpu.ops.losses import BIG_ARG, PT_LOSS_PAD, ce_tile_scan
 from musicnlp_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 __all__ = ['vocab_sharded_embed', 'vocab_sharded_ce_loss']
-
-_BIG_ARG = jnp.int32(2 ** 30)
 
 
 def _batch_axes(mesh) -> tuple:
@@ -71,66 +69,6 @@ def vocab_sharded_embed(input_ids: jnp.ndarray, embed_w: jnp.ndarray, *,
     )(input_ids, embed_w)
 
 
-def _ce_partials(hq: jnp.ndarray, lb_safe: jnp.ndarray, embed_w: jnp.ndarray,
-                 out_bias: jnp.ndarray, *, chunk: Optional[int], lo_base,
-                 vary_axes: tuple = ()):
-    """Shard-local running (lse, target_logit, max, argmax) over a [Vl, d]
-    row block whose global row offset is `lo_base`.
-
-    Identical tiling scheme to losses.py::chunked_shifted_ce_loss (one
-    MXU-friendly [B*T, d] x [d, chunk] matmul per tile, `jax.checkpoint` on
-    the tile body so backward memory stays at one tile).  `tgt` is 0 where
-    the label row lives in another shard, so a psum combines shards exactly.
-    """
-    B, Tq, d = hq.shape
-    vl = embed_w.shape[0]
-    hi_cap = lo_base + vl   # pad rows must not claim the NEXT shard's labels
-    chunk = min(chunk or vl, vl)
-    n_chunk = -(-vl // chunk)
-    v_pad = n_chunk * chunk
-    if v_pad != vl:
-        embed_w = jnp.pad(embed_w, ((0, v_pad - vl), (0, 0)))
-        out_bias = jnp.pad(out_bias, (0, v_pad - vl), constant_values=-1e30)
-
-    def tile(carry, ci):
-        lse, tgt, run_max, run_arg = carry
-        lo = ci * chunk
-
-        @jax.checkpoint
-        def tile_logits(hq, w, b):
-            return (jnp.einsum('btd,vd->btv', hq, w.astype(hq.dtype),
-                               preferred_element_type=jnp.float32)
-                    + b.astype(jnp.float32))
-
-        w_c = jax.lax.dynamic_slice(embed_w, (lo, 0), (chunk, d))
-        b_c = jax.lax.dynamic_slice(out_bias, (lo,), (chunk,))
-        lg = tile_logits(hq, w_c, b_c)                 # [B, Tq, chunk] f32
-        lse = jnp.logaddexp(lse, jax.nn.logsumexp(lg, axis=-1))
-        glo = lo_base + lo
-        in_c = (lb_safe >= glo) & (lb_safe < glo + chunk) & (lb_safe < hi_cap)
-        idx = jnp.clip(lb_safe - glo, 0, chunk - 1)
-        got = jnp.take_along_axis(lg, idx[..., None], axis=-1)[..., 0]
-        tgt = jnp.where(in_c, got, tgt)
-        c_max = jnp.max(lg, axis=-1)
-        c_arg = jnp.argmax(lg, axis=-1).astype(jnp.int32) + glo
-        better = c_max > run_max
-        run_max = jnp.where(better, c_max, run_max)
-        run_arg = jnp.where(better, c_arg, run_arg)
-        return (lse, tgt, run_max, run_arg), None
-
-    neg = jnp.full((B, Tq), -jnp.inf, jnp.float32)
-    init = (neg, jnp.zeros((B, Tq), jnp.float32), neg,
-            jnp.full((B, Tq), _BIG_ARG))
-    if vary_axes:
-        # under shard_map the scan body outputs are device-varying; the
-        # constant init carry must be cast to match (shard_map VMA typing)
-        init = jax.tree.map(
-            lambda x: jax.lax.pcast(x, vary_axes, to='varying'), init)
-    (lse, tgt, run_max, run_arg), _ = jax.lax.scan(
-        tile, init, jnp.arange(n_chunk, dtype=jnp.int32))
-    return lse, tgt, run_max, run_arg
-
-
 def vocab_sharded_ce_loss(
         h: jnp.ndarray, labels: jnp.ndarray, embed_w: jnp.ndarray,
         out_bias: jnp.ndarray, *, mesh, chunk: Optional[int] = None,
@@ -156,7 +94,7 @@ def vocab_sharded_ce_loss(
         lb = labels[:, 1:]
         valid = lb != PT_LOSS_PAD
         lb_safe = jnp.where(valid, lb, 0)
-        lse_l, tgt_l, mx_l, arg_l = _ce_partials(
+        lse_l, tgt_l, mx_l, arg_l = ce_tile_scan(
             h[:, :-1], lb_safe, w, b, chunk=chunk, lo_base=k * vl,
             vary_axes=tuple(mesh.axis_names))
 
@@ -169,7 +107,7 @@ def vocab_sharded_ce_loss(
         mx_sg = jax.lax.stop_gradient(mx_l)
         gmax = jax.lax.pmax(mx_sg, MODEL_AXIS)
         arg = jax.lax.pmin(
-            jax.lax.stop_gradient(jnp.where(mx_sg >= gmax, arg_l, _BIG_ARG)),
+            jax.lax.stop_gradient(jnp.where(mx_sg >= gmax, arg_l, BIG_ARG)),
             MODEL_AXIS)
 
         nll = jnp.where(valid, lse - tgt, 0.0)

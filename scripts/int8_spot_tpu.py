@@ -22,17 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def norm_edit(a: str, b: str) -> float:
-    a, b = a.split(), b.split()
-    if not a and not b:
-        return 0.0
-    dp = list(range(len(b) + 1))
-    for i, x in enumerate(a, 1):
-        prev, dp[0] = dp[0], i
-        for j, y in enumerate(b, 1):
-            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
-                                     prev + (x != y))
-    return dp[-1] / max(len(a), len(b))
+from musicnlp_tpu.utils.seq_metrics import norm_edit_distance as norm_edit  # noqa: E402
 
 
 def main():

@@ -328,15 +328,7 @@ def _score_records(recs) -> dict:
     )
 
 
-def _js_div(p: dict, q: dict) -> float:
-    """Jensen-Shannon divergence (base 2) between two count dicts."""
-    keys = sorted(set(p) | set(q))
-    a = np.array([float(p.get(k, 0)) for k in keys]) + 1e-12
-    b = np.array([float(q.get(k, 0)) for k in keys]) + 1e-12
-    a, b = a / a.sum(), b / b.sum()
-    m = (a + b) / 2
-    kl = lambda x, y: float(np.sum(x * np.log2(x / y)))
-    return 0.5 * kl(a, m) + 0.5 * kl(b, m)
+from musicnlp_tpu.utils.seq_metrics import js_divergence as _js_div  # noqa: E402
 
 
 def stage_score(out: str, model_sizes) -> dict:

@@ -48,17 +48,9 @@ def _train(model, tok, out_dir):
     return params
 
 
-def _norm_edit(a, b):
-    a, b = a.split(), b.split()
-    if not a and not b:
-        return 0.0
-    dp = list(range(len(b) + 1))
-    for i, x in enumerate(a, 1):
-        prev, dp[0] = dp[0], i
-        for j, y in enumerate(b, 1):
-            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
-                                     prev + (x != y))
-    return dp[-1] / max(len(a), len(b))
+from musicnlp_tpu.utils.seq_metrics import (    # noqa: E402
+    js_divergence, norm_edit_distance as _norm_edit,
+)
 
 
 def _type_js(texts_a, texts_b, vocab):
@@ -71,14 +63,7 @@ def _type_js(texts_a, texts_b, vocab):
                 c[str(vocab.type(w))] += 1
         return c
 
-    p, q = hist(texts_a), hist(texts_b)
-    keys = sorted(set(p) | set(q))
-    a = np.array([p.get(k, 0) for k in keys], float) + 1e-12
-    b = np.array([q.get(k, 0) for k in keys], float) + 1e-12
-    a, b = a / a.sum(), b / b.sum()
-    m = (a + b) / 2
-    kl = lambda x, y: float(np.sum(x * np.log2(x / y)))
-    return 0.5 * kl(a, m) + 0.5 * kl(b, m)
+    return js_divergence(hist(texts_a), hist(texts_b))
 
 
 def _certify(model_dense, model_int8, tok, params):
