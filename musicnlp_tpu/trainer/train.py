@@ -59,6 +59,11 @@ class TrainArgs:
     eval_batch_size: Optional[int] = None
     logging_steps: int = 1
     save_per_epoch: bool = True
+    # Save a checkpoint only every N epochs (the last epoch always saves).
+    # Pulling a base-size params+opt pytree off a tunneled chip costs ~50 s
+    # per save, so per-epoch saving can dominate small-corpus runs; best-
+    # model tracking then picks among the saved epochs only.
+    save_every: int = 1
     # Keep at most N epoch checkpoints on disk (HF save_total_limit
     # semantics; the best-eval-loss checkpoint is always retained on top of
     # the N most recent).  None/0 = keep everything.  A 256-epoch run at
@@ -311,15 +316,18 @@ class Trainer:
             ep_rec = dict(epoch=epoch, train_tokens_per_sec=n_tok_ep / max(dt, 1e-9))
             logger.info('epoch %d done: %.0f tokens/sec', epoch,
                         ep_rec['train_tokens_per_sec'])
+            do_save = args.save_per_epoch and (
+                (epoch + 1) % max(args.save_every, 1) == 0
+                or epoch == args.num_train_epochs - 1)
             if self.eval_dataset is not None:
                 ev = self.evaluate(params)
                 ep_rec.update({f'eval_{k}': v for k, v in ev.items()})
-                if args.save_per_epoch:
+                if do_save:
                     path = self._save_checkpoint(epoch, params, opt_state)
                     if ev['loss'] < best_loss:
                         best_loss, best_path = ev['loss'], path
                     self._rotate_checkpoints(best_path)
-            elif args.save_per_epoch:
+            elif do_save:
                 self._save_checkpoint(epoch, params, opt_state)
                 self._rotate_checkpoints(best_path)
             self._log(ep_rec)

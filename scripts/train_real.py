@@ -76,7 +76,8 @@ def stage_extract(out: str) -> dict:
 
 # -------------------------------------------------------------------- train
 def stage_train(out: str, model_size: str, epochs: int, batch_size: int,
-                seed: int = 0, resume_from: str | None = None) -> dict:
+                seed: int = 0, resume_from: str | None = None,
+                save_every: int = 1) -> dict:
     from musicnlp_tpu.postprocess.train_plot import summarize_run
     from musicnlp_tpu.preprocess.dataset import SongDataset
     from musicnlp_tpu.trainer.train import setup_recipe
@@ -90,7 +91,8 @@ def stage_train(out: str, model_size: str, epochs: int, batch_size: int,
         '22-11', [train_sd], eval_datasets=test_sd, out_dir=run_dir,
         overrides=dict(model_size=model_size),
         train_args=dict(num_train_epochs=epochs, batch_size=batch_size,
-                        logging_steps=50, seed=seed, save_total_limit=3))
+                        logging_steps=50, seed=seed, save_total_limit=3,
+                        save_every=save_every))
     t0 = time.time()
     res = trainer.train(resume_from=resume_from)
     summ = summarize_run(trainer.log_path)
@@ -342,7 +344,13 @@ def stage_score(out: str, model_sizes) -> dict:
           f'IKR {ref_stats["ikr"]:.3f}/{ref_stats["ikr_best_key"]:.3f}',
           flush=True)
 
+    # Merge into the committed artifact: model entries scored in earlier
+    # sessions survive when their /tmp generations no longer exist.
     result = dict(reference=ref_stats, models={})
+    if os.path.exists(ARTIFACT):
+        with open(ARTIFACT) as f:
+            prev = json.load(f)
+        result['models'].update(prev.get('models', {}))
     for size in model_sizes:
         gen_dir = os.path.join(out, f'generated_{size}')
         our_paths = sorted(glob.glob(os.path.join(gen_dir, '*.mxl')))
@@ -391,6 +399,10 @@ def main():
     ap.add_argument('--epochs', type=int, default=256)
     ap.add_argument('--batch-size', type=int, default=18)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--save-every', type=int, default=1,
+                    help='checkpoint every N epochs (tunneled device_get of a'
+                         ' base-size pytree costs ~50 s; 16 keeps a 256-epoch'
+                         ' run tractable)')
     ap.add_argument('--resume-from', default=None,
                     help='epoch checkpoint dir to resume the train stage from'
                          ' (crash recovery)')
@@ -406,7 +418,8 @@ def main():
         stage_extract(args.out)
     if args.stage in ('all', 'train'):
         stage_train(args.out, args.model_size, args.epochs, args.batch_size,
-                    seed=args.seed, resume_from=args.resume_from)
+                    seed=args.seed, resume_from=args.resume_from,
+                    save_every=args.save_every)
     if args.stage in ('all', 'generate'):
         stage_generate(args.out, args.model_size, seed=args.seed)
     if args.stage == 'rerender':
