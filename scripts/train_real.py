@@ -375,8 +375,13 @@ def stage_score(out: str, model_sizes) -> dict:
         if os.path.exists(gs):
             with open(gs) as f:
                 gen_summ = json.load(f)
+        # Re-scoring a size whose /tmp train/generate summaries are gone
+        # (score-only rerun in a later session) must not clobber the good
+        # records already in the committed artifact.
+        prev_entry = result['models'].get(size, {})
         result['models'][size] = dict(
-            train=tr_summ, generate=gen_summ, stats=our,
+            train=tr_summ or prev_entry.get('train', {}),
+            generate=gen_summ or prev_entry.get('generate', {}), stats=our,
             js_divergence_vs_reference={k: round(v, 4) for k, v in js.items()})
         print(f'[score] {size}: IKR {our["ikr"]:.3f}/{our["ikr_best_key"]:.3f} '
               f'JS(dur/pc/type) = {js["duration"]:.3f}/{js["pitch_class"]:.3f}'

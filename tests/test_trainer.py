@@ -551,3 +551,28 @@ def test_checkpoint_rotation_keeps_limit_plus_best(setup, tmp_path_factory):
     # the final artifacts still save
     assert os.path.exists(os.path.join(out, 'trained.npz'))
     assert os.path.exists(os.path.join(out, 'meta.json'))
+
+
+def test_save_every_thins_epoch_checkpoints(setup, tmp_path_factory):
+    """save_every=N writes checkpoints only every N-th epoch (the final epoch
+    always saves) while best-model tracking picks among the SAVED epochs.
+    Added for the base-size real-corpus run: a tunneled device_get of a
+    base params+opt pytree costs ~50 s, so per-epoch saving dominated the
+    wall clock (scripts/train_real.py --save-every)."""
+    model, tok, train, evald = setup
+    out = str(tmp_path_factory.mktemp('save_every'))
+    args = TrainArgs(batch_size=8, learning_rate=3e-3, weight_decay=0.0,
+                     lr_scheduler_type='constant', num_train_epochs=6,
+                     logging_steps=100, save_every=3)
+    tr = Trainer(model, tok, train, evald, args=args, out_dir=out)
+    tr.train()
+    kept = sorted(glob.glob(os.path.join(out, 'checkpoint-ep*')))
+    eps = sorted(int(os.path.basename(d).split('ep')[1]) for d in kept)
+    assert eps == [2, 5], eps          # every 3rd epoch; 5 is also the last
+    # eval ran every epoch regardless of saving
+    log = [json.loads(l) for l in open(tr.log_path)]
+    evals = [r['epoch'] for r in log if 'eval_loss' in r]
+    assert evals == list(range(6)), evals
+    # final artifacts present and loadable
+    assert os.path.exists(os.path.join(out, 'trained.npz'))
+    assert os.path.exists(os.path.join(out, 'meta.json'))
