@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     'PT_LOSS_PAD', 'BIG_ARG', 'shifted_ce_loss', 'ce_tile_scan',
@@ -31,8 +32,12 @@ __all__ = [
 
 PT_LOSS_PAD = -100
 # argmax sentinel: larger than any vocab id, so a pmin tie-break across
-# shards (ops/sharded_head.py) can discard non-winning shards' indices
-BIG_ARG = jnp.int32(2 ** 30)
+# shards (ops/sharded_head.py) can discard non-winning shards' indices.
+# Deliberately a NUMPY scalar, not jnp: a jnp constant here dispatches an
+# eager op at module import, which initializes whatever jax backend the
+# environment presets -- fatal for __graft_entry__.dryrun_multichip, which
+# must force the virtual CPU platform BEFORE any backend exists.
+BIG_ARG = np.int32(2 ** 30)
 
 
 def ce_tile_scan(hq: jnp.ndarray, lb_safe: jnp.ndarray, embed_w: jnp.ndarray,
