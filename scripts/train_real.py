@@ -53,7 +53,7 @@ ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(
 
 
 # ------------------------------------------------------------------ extract
-def stage_extract(out: str) -> dict:
+def stage_extract(out: str, test_frac: float = 0.25) -> dict:
     from musicnlp_tpu.preprocess.music_export import (
         MusicExport, combine_saved_songs, json2dataset,
     )
@@ -68,8 +68,10 @@ def stage_extract(out: str) -> dict:
     combined = combine_saved_songs(
         sorted(glob.glob(os.path.join(jd, '*.json'))),
         out_path=os.path.join(out, 'combined.json'))
+    # test_frac 0.25 -> 10 held-out songs of the 40: a 4-song eval split
+    # (the round-4 default) makes best_eval_* noise-dominated
     ds = json2dataset(combined, os.path.join(out, 'dataset'),
-                      test_frac=0.1, pitch_kind='step')
+                      test_frac=test_frac, pitch_kind='step')
     print(f'[extract] dataset: {ds}', flush=True)
     return ds
 
@@ -314,11 +316,24 @@ def _score_records(recs) -> dict:
     gt_ikr = float(ikr.ground_truth_ikr(ids_mat, ks_mat))
     gt_ikr_best = float(ikr.ground_truth_ikr(ids_mat, ks_mat,
                                              best_key_only=True))
+    # per-song spread: the aggregate IKR on a small set can hide a bimodal
+    # population (a few atonal songs under high-IKR filler)
+    song_ikr = np.array([ikr.ground_truth_ikr(ids_mat[i:i + 1], ks_mat[i:i + 1],
+                                              best_key_only=True)
+                         for i in range(len(ids_list))])
+    qs = np.percentile(song_ikr, [0, 25, 50, 75, 100]) if len(song_ikr) else \
+        np.zeros(5)
+    ikr_spread = dict(mean=round(float(song_ikr.mean()), 4),
+                      std=round(float(song_ikr.std()), 4),
+                      min=round(float(qs[0]), 4), p25=round(float(qs[1]), 4),
+                      median=round(float(qs[2]), 4), p75=round(float(qs[3]), 4),
+                      max=round(float(qs[4]), 4))
 
     n = max(len(per_song), 1)
     return dict(
         n_songs=len(recs),
         ikr=gt_ikr, ikr_best_key=gt_ikr_best,
+        ikr_best_key_per_song=ikr_spread,
         mean_bars=sum(s['n_bar'] for s in per_song) / n,
         mean_tokens=sum(s['n_token'] for s in per_song) / n,
         tuplet_per_song=sum(s['n_tuplet'] for s in per_song) / n,
@@ -377,12 +392,19 @@ def stage_score(out: str, model_sizes) -> dict:
                 gen_summ = json.load(f)
         # Re-scoring a size whose /tmp train/generate summaries are gone
         # (score-only rerun in a later session) must not clobber the good
-        # records already in the committed artifact.
+        # records already in the committed artifact -- but flag the fallback
+        # so a mixed-session record is distinguishable from a same-run one.
         prev_entry = result['models'].get(size, {})
-        result['models'][size] = dict(
+        entry = dict(
             train=tr_summ or prev_entry.get('train', {}),
             generate=gen_summ or prev_entry.get('generate', {}), stats=our,
-            js_divergence_vs_reference={k: round(v, 4) for k, v in js.items()})
+            js_divergence_vs_reference={k: round(v, 4) for k, v in js.items()},
+            scored_at=time.strftime('%Y-%m-%dT%H:%M:%S'))
+        if not tr_summ and prev_entry.get('train'):
+            entry['train_summary_from'] = 'prior_artifact'
+        if not gen_summ and prev_entry.get('generate'):
+            entry['generate_summary_from'] = 'prior_artifact'
+        result['models'][size] = entry
         print(f'[score] {size}: IKR {our["ikr"]:.3f}/{our["ikr_best_key"]:.3f} '
               f'JS(dur/pc/type) = {js["duration"]:.3f}/{js["pitch_class"]:.3f}'
               f'/{js["token_type"]:.3f}', flush=True)
@@ -401,6 +423,9 @@ def main():
                     choices=['all', 'extract', 'train', 'generate',
                              'rerender', 'score'])
     ap.add_argument('--model-size', default='small')
+    ap.add_argument('--test-frac', type=float, default=0.25,
+                    help='held-out fraction at extract time (0.25 -> 10/40 '
+                         'songs; the round-4 4-song split was noise-dominated)')
     ap.add_argument('--epochs', type=int, default=256)
     ap.add_argument('--batch-size', type=int, default=18)
     ap.add_argument('--seed', type=int, default=0)
@@ -420,7 +445,7 @@ def main():
     os.makedirs(args.out, exist_ok=True)
 
     if args.stage in ('all', 'extract'):
-        stage_extract(args.out)
+        stage_extract(args.out, test_frac=args.test_frac)
     if args.stage in ('all', 'train'):
         stage_train(args.out, args.model_size, args.epochs, args.batch_size,
                     seed=args.seed, resume_from=args.resume_from,
