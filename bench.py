@@ -616,6 +616,32 @@ def main():
     extra = {} if vocab == 1190 else dict(vocab_size=vocab)
     if shard_vocab:
         extra['shard_vocab'] = True
+    # the driver records only this one line per round; fold the decode
+    # headline (512-way int8 KV ring, the measured round-4 winner) into the
+    # same JSON so BENCH_r{N}.json carries train AND decode.  BENCH_DECODE=0
+    # skips it (e.g. for CPU smoke runs or parameter sweeps).
+    if (vocab == 1190 and not shard_vocab
+            and _env_int('BENCH_DECODE', 1)):
+        dkey = f'decode-{size}-len{seq}'
+        dcache = {}
+        if os.path.exists(BASELINE_CACHE):
+            with open(BASELINE_CACHE) as f:
+                dcache = json.load(f)
+        if dkey not in dcache:
+            dcache[dkey] = dict(
+                tokens_per_sec=measure_decode_baseline(size, seq),
+                what='HF TransfoXL mems decode loop, torch CPU, bsz 1',
+                measured_at=time.strftime('%Y-%m-%d %H:%M:%S'))
+            with open(BASELINE_CACHE, 'w') as f:
+                json.dump(dcache, f, indent=2)
+        dec = measure_decode_ours(size, seq, _env_int('BENCH_BSZ_DECODE', 512),
+                                  kv_quant='int8')
+        extra.update(
+            decode_tokens_per_sec=round(dec['tokens_per_sec'], 1),
+            decode_vs_baseline=round(
+                dec['tokens_per_sec'] / dcache[dkey]['tokens_per_sec'], 2),
+            decode_kv_cache='int8',
+            decode_batch_latency_s=round(dec['batch_latency_s'], 3))
     print(json.dumps(dict(
         metric=f'tfxl_{size}_train_tokens_per_sec_per_chip',
         value=round(ours, 1), unit='tokens/sec/chip',
