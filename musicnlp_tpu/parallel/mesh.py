@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ['make_mesh', 'make_multislice_mesh', 'param_specs', 'batch_specs',
            'shard_pytree', 'replicated_specs', 'init_distributed',
-           'host_shard', 'make_global_batch']
+           'host_shard', 'make_global_batch', 'barrier']
 
 DATA_AXIS, MODEL_AXIS, REPLICA_AXIS = 'data', 'model', 'replica'
 
@@ -56,6 +56,15 @@ def _looks_distributed() -> bool:
     return any(os.environ.get(k) for k in
                ('COORDINATOR_ADDRESS', 'JAX_COORDINATOR_ADDRESS',
                 'MEGASCALE_COORDINATOR_ADDRESS'))
+
+
+def barrier(name: str = 'barrier') -> None:
+    """Cross-process sync point (no-op single-process).  Used around
+    checkpoint writes so no host reads a file another host is still
+    writing."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
 
 
 def host_shard() -> Optional[tuple]:

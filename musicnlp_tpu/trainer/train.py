@@ -167,6 +167,10 @@ class Trainer:
         # Auto-detected from jax.process_count(); override for tests.
         self.host_shard = host_shard if host_shard is not None \
             else mesh_lib.host_shard()
+        # multi-host runs write logs/checkpoints from process 0 only (the
+        # out_dir is one shared FS on a pod); every process keeps the same
+        # in-memory bookkeeping so best-model selection stays in lockstep
+        self._is_main = jax.process_index() == 0
 
         steps_per_epoch = max(1, len(train_dataset) // self.args.batch_size)
         self.steps_per_epoch = steps_per_epoch
@@ -244,6 +248,8 @@ class Trainer:
 
     # ------------------------------------------------------------------ loops
     def _log(self, record: Dict):
+        if not self._is_main:
+            return
         os.makedirs(self.out_dir, exist_ok=True)
         with open(self.log_path, 'a') as f:
             f.write(json.dumps({k: (float(v) if hasattr(v, 'item') else v)
@@ -337,21 +343,29 @@ class Trainer:
                                          jax.device_get(params))
             params = mesh_lib.shard_pytree(
                 params, mesh_lib.param_specs(params, shard_vocab=self._shard_vocab), self.mesh)
-        final = ckpt.save_pytree(os.path.join(self.out_dir, 'trained'), params)
-        ckpt.save_meta(os.path.join(self.out_dir, 'meta.json'), dict(
-            model_name=_model_name(self.model),
-            config=asdict_config(self.model.cfg), train_args=asdict(self.args),
-            tokenizer=describe_tokenizer(self.tokenizer, self.out_dir),
-            best_eval_loss=best_loss, final_checkpoint=final))
+        if self._is_main:
+            final = ckpt.save_pytree(os.path.join(self.out_dir, 'trained'),
+                                     params)
+            ckpt.save_meta(os.path.join(self.out_dir, 'meta.json'), dict(
+                model_name=_model_name(self.model),
+                config=asdict_config(self.model.cfg),
+                train_args=asdict(self.args),
+                tokenizer=describe_tokenizer(self.tokenizer, self.out_dir),
+                best_eval_loss=best_loss, final_checkpoint=final))
+        mesh_lib.barrier('trained')
         return dict(params=params, opt_state=opt_state, history=history,
                     best_eval_loss=best_loss)
 
     def _save_checkpoint(self, epoch: int, params, opt_state) -> str:
-        """Epoch checkpoint dir with params + optimizer state + counters."""
+        """Epoch checkpoint dir with params + optimizer state + counters.
+        Process 0 writes; the barrier keeps other hosts from reading (e.g.
+        the best-model restore) before the files are complete."""
         d = os.path.join(self.out_dir, f'checkpoint-ep{epoch}')
-        ckpt.save_pytree(os.path.join(d, 'params'), params)
-        ckpt.save_pytree(os.path.join(d, 'opt_state'), opt_state)
-        ckpt.save_meta(os.path.join(d, 'state.json'), dict(epoch=epoch))
+        if self._is_main:
+            ckpt.save_pytree(os.path.join(d, 'params'), params)
+            ckpt.save_pytree(os.path.join(d, 'opt_state'), opt_state)
+            ckpt.save_meta(os.path.join(d, 'state.json'), dict(epoch=epoch))
+        mesh_lib.barrier(f'ckpt-ep{epoch}')
         self._saved_ckpts.append(d)
         return d
 
@@ -365,7 +379,7 @@ class Trainer:
         if best_path:
             keep.add(best_path)
         for d in [p for p in self._saved_ckpts if p not in keep]:
-            if os.path.isdir(d):
+            if self._is_main and os.path.isdir(d):
                 shutil.rmtree(d)
             self._saved_ckpts.remove(d)
 
@@ -387,7 +401,18 @@ class Trainer:
                 batch['labels'][n_real:] = PT_LOSS_PAD
                 batch['key_scores'] = batch['key_scores'].copy()
                 batch['key_scores'][n_real:] = 0.0
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            # multi-host: every host loads the SAME full eval batch (no
+            # shard= -- eval order is fixed), so each contributes its own
+            # row slice to the global array; n_real stays the global count
+            if self.host_shard:
+                pi, nproc = self.host_shard
+                assert len(batch['input_ids']) % nproc == 0, (
+                    f'eval batch size {len(batch["input_ids"])} must divide '
+                    f'by process_count {nproc}')
+                per = len(batch['input_ids']) // nproc
+                batch = {k: v[pi * per:(pi + 1) * per]
+                         for k, v in batch.items()}
+            batch = mesh_lib.make_global_batch(batch, self.mesh, self._bspecs)
             mets = self.eval_step(params, batch)
             for k in ('loss', 'ntp_acc', 'ikr'):
                 tot[k] = tot.get(k, 0.0) + n_real * float(mets[k])
