@@ -112,15 +112,21 @@ class WordPieceMusicTrainer:
 
     @staticmethod
     def key_augmented_corpus(songs):
-        """Yield each song once per candidate key, key-inserted and
-        degree-shifted (the reference's training corpus: song x all keys via
-        iter_song_w_all_keys + AugmentKey, reference :280-282)."""
+        """Yield each song once per candidate key, rare-sanitized,
+        key-inserted and degree-shifted (the reference's training corpus:
+        song x all keys via iter_song_w_all_keys + AugmentKey, reference
+        :280-282).  SanitizeRare runs FIRST, mirroring the train-time
+        `StringAugmentedDataset` chain — real corpora contain off-lattice
+        durations (e.g. d_1/16 at precision 5) that the base vocab folds to
+        `d_rare`; training the unit table on raw strings would mint merged
+        units the model can never emit."""
         from musicnlp_tpu.preprocess import transform as tsf
         from musicnlp_tpu.preprocess.dataset import iter_song_w_all_keys
         ak = tsf.AugmentKey()
+        san = tsf.SanitizeRare()
         out = iter_song_w_all_keys(list(songs))
         for score, key in out.generator:
-            yield ak((score, key))
+            yield ak((san(score), key))
 
     def __call__(self, songs: Iterable[Union[str, Dict]], vocab_size: int,
                  save: str = None) -> 'WordPieceMusicTokenizer':

@@ -76,29 +76,94 @@ def stage_extract(out: str, test_frac: float = 0.25) -> dict:
     return ds
 
 
+# ---------------------------------------------------------------- tokenizer
+def _tag(model_size: str, scheme: str) -> str:
+    """Model/generated dir tag: 'base', 'small_pairmerge', ..."""
+    return model_size if scheme == 'vanilla' else f'{model_size}_{scheme}'
+
+
+def stage_tokenizer(out: str, scheme: str, coverage: float = 0.95,
+                    wp_vocab: int = 2048) -> str:
+    """Train a learned tokenizer on the real corpus (degree pitch, key-
+    augmented copies -- the reference's deployment flow,
+    reference wordpiece_tokenizer.py:246-336, pair_merge_tokenizer.py:41-153)."""
+    from musicnlp_tpu.trainer.wordpiece_tokenizer import WordPieceMusicTrainer
+
+    assert scheme in ('pairmerge', 'wordpiece'), scheme
+    with open(os.path.join(out, 'combined.json')) as f:
+        songs = json.load(f)['music']
+    corpus = list(WordPieceMusicTrainer.key_augmented_corpus(songs))
+    path = os.path.join(out, f'tokenizer_{scheme}.json')
+    if scheme == 'pairmerge':
+        from musicnlp_tpu.trainer.pair_merge_tokenizer import (
+            PairMergeTokenizerTrainer,
+        )
+        tok = PairMergeTokenizerTrainer(pitch_kind='degree', mode='full')(
+            corpus, coverage_ratio=coverage, save=path)
+    else:
+        tok = WordPieceMusicTrainer(pitch_kind='degree')(
+            corpus, vocab_size=wp_vocab, save=path)
+    n_exact = sum(tok.decode(tok.encode(c)) == c for c in corpus[:16])
+    print(f'[tokenizer] {scheme}: vocab {tok.vocab_size} '
+          f'({len(corpus)} key-augmented songs), roundtrip-exact '
+          f'{n_exact}/16 -> {path}', flush=True)
+    assert n_exact == min(16, len(corpus)), 'learned tokenizer roundtrip broke'
+    return path
+
+
 # -------------------------------------------------------------------- train
 def stage_train(out: str, model_size: str, epochs: int, batch_size: int,
                 seed: int = 0, resume_from: str | None = None,
-                save_every: int = 1) -> dict:
+                save_every: int = 1, scheme: str = 'vanilla') -> dict:
     from musicnlp_tpu.postprocess.train_plot import summarize_run
     from musicnlp_tpu.preprocess.dataset import SongDataset
     from musicnlp_tpu.trainer.train import setup_recipe
 
     train_sd = SongDataset.load(os.path.join(out, 'dataset', 'train.npz'))
     test_sd = SongDataset.load(os.path.join(out, 'dataset', 'test.npz'))
-    run_dir = os.path.join(out, f'model_{model_size}')
-    print(f'[train] {model_size}: {len(train_sd)} train / {len(test_sd)} test '
+    tag = _tag(model_size, scheme)
+    run_dir = os.path.join(out, f'model_{tag}')
+    print(f'[train] {tag}: {len(train_sd)} train / {len(test_sd)} test '
           f'songs, {epochs} epochs, bsz {batch_size}', flush=True)
-    trainer = setup_recipe(
-        '22-11', [train_sd], eval_datasets=test_sd, out_dir=run_dir,
-        overrides=dict(model_size=model_size),
-        train_args=dict(num_train_epochs=epochs, batch_size=batch_size,
-                        logging_steps=50, seed=seed, save_total_limit=3,
-                        save_every=save_every))
+    if scheme == 'vanilla':
+        trainer = setup_recipe(
+            '22-11', [train_sd], eval_datasets=test_sd, out_dir=run_dir,
+            overrides=dict(model_size=model_size),
+            train_args=dict(num_train_epochs=epochs, batch_size=batch_size,
+                            logging_steps=50, seed=seed, save_total_limit=3,
+                            save_every=save_every))
+    else:
+        # learned-tokenizer leg: merged ids need the STRING pipeline (the
+        # id-space AugmentedDataset only represents base-vocab ids); model
+        # shape/augmentations otherwise mirror the 22-11 recipe
+        from musicnlp_tpu.preprocess.dataset import (
+            StringAugmentedDataset, songdataset_to_dicts,
+        )
+        from musicnlp_tpu.trainer.train import (
+            TrainArgs, Trainer, get_model_n_tokenizer,
+        )
+        model, tok = get_model_n_tokenizer(
+            'transf-xl', model_size, max_length=1024,
+            model_config=dict(mem_len=512), tokenizer_scheme=scheme,
+            tokenizer_path=os.path.join(out, f'tokenizer_{scheme}.json'))
+        aug = dict(insert_key=True, pitch_shift=True, channel_mixup=True)
+        train_ds = StringAugmentedDataset(
+            songdataset_to_dicts(train_sd), tok, random_crop=True,
+            dataset_split='train', **aug)
+        eval_ds = StringAugmentedDataset(
+            songdataset_to_dicts(test_sd), tok, random_crop=False,
+            dataset_split='test', **aug)
+        targs = TrainArgs.from_preset(
+            'transf-xl', model_size, num_train_epochs=epochs,
+            batch_size=batch_size, weight_decay=0.1, logging_steps=50,
+            seed=seed, save_total_limit=3, save_every=save_every)
+        trainer = Trainer(model, tok, train_ds, eval_ds, args=targs,
+                          out_dir=run_dir, ikr_mode='ins-key')
     t0 = time.time()
     res = trainer.train(resume_from=resume_from)
     summ = summarize_run(trainer.log_path)
-    rec = dict(model_size=model_size, epochs=epochs, batch_size=batch_size,
+    rec = dict(model_size=model_size, tokenizer_scheme=scheme, epochs=epochs,
+               batch_size=batch_size,
                n_train_songs=len(train_sd), n_test_songs=len(test_sd),
                best_eval_loss=float(res['best_eval_loss']),
                best_eval_ntp_acc=summ.get('best_eval_ntp_acc'),
@@ -111,16 +176,16 @@ def stage_train(out: str, model_size: str, epochs: int, batch_size: int,
 
 
 # ----------------------------------------------------------------- generate
-def stage_generate(out: str, model_size: str, n_uncond: int = 16,
+def stage_generate(out: str, tag: str, n_uncond: int = 16,
                    n_per_song: int = 3, top_k: int = 8, n_bar: int = 8,
                    seed: int = 0, max_length: int = 1024) -> dict:
     """Conditional continuations of every original song (sample, #b=8, topk=8
     -- the reference's dominant shipped setting) + unconditional songs."""
     from musicnlp_tpu.trainer.eval import MusicGenerator, load_trained
 
-    run_dir = os.path.join(out, f'model_{model_size}')
+    run_dir = os.path.join(out, f'model_{tag}')
     model, params, tok = load_trained(run_dir)
-    gen_dir = os.path.join(out, f'generated_{model_size}')
+    gen_dir = os.path.join(out, f'generated_{tag}')
     gen = MusicGenerator(model, tok, params, augment_key=True,
                          out_dir=gen_dir)
 
@@ -163,6 +228,16 @@ def stage_generate(out: str, model_size: str, n_uncond: int = 16,
     print(f'[generate] {len(texts)} songs in {dt:.1f}s '
           f'({sum(len(t.split()) for t in texts)} tokens)', flush=True)
 
+    # decode(encode(text)) exactness on every generated song -- for learned
+    # tokenizers (merged ids) this certifies the unit table round-trips the
+    # model's own output distribution, not just the train corpus
+    learned = type(tok).__name__ != 'MusicTokenizer'
+    n_rt = sum(tok.decode(tok.encode(t)) == t for t in texts)
+    if learned:
+        assert n_rt == len(texts), (
+            f'learned tokenizer roundtrip broke on {len(texts) - n_rt} '
+            f'generated songs')
+
     from musicnlp_tpu.trainer.eval import (
         repair_bar_durations, repair_generated, truncate_last_bar,
     )
@@ -176,7 +251,7 @@ def stage_generate(out: str, model_size: str, n_uncond: int = 16,
         n_raw_valid += raw_valid
         rec = dict(meta, text=filled, raw_text=text,
                    bar_durations_valid=raw_valid, prompt=prompts[i])
-        stem = f'real_{model_size}_{i:03d}'
+        stem = f'real_{tag}_{i:03d}'
         try:
             score = gen.converter.str2score(filled, pitch_kind=tok.pitch_kind,
                                             title=stem)
@@ -199,7 +274,7 @@ def stage_generate(out: str, model_size: str, n_uncond: int = 16,
 
 
 # ----------------------------------------------------------------- rerender
-def stage_rerender(out: str, model_size: str) -> dict:
+def stage_rerender(out: str, tag: str) -> dict:
     """Re-render MXL/MIDI from the texts saved by an earlier generate stage,
     re-applying the current repair chain (CPU-only; no model needed).  Used
     to refresh renders after repair/render fixes without re-sampling."""
@@ -207,11 +282,11 @@ def stage_rerender(out: str, model_size: str) -> dict:
     from musicnlp_tpu.trainer.eval import repair_bar_durations
     from musicnlp_tpu.vocab import MusicVocabulary
 
-    gen_dir = os.path.join(out, f'generated_{model_size}')
+    gen_dir = os.path.join(out, f'generated_{tag}')
     v = MusicVocabulary(pitch_kind='degree')
     mc = MusicConverter(mode='full')
     paths = sorted(glob.glob(os.path.join(gen_dir,
-                                          f'real_{model_size}_*.json')))
+                                          f'real_{tag}_*.json')))
     n_render_fail = n_raw_valid = n = 0
     for p in paths:
         with open(p) as f:
@@ -237,7 +312,7 @@ def stage_rerender(out: str, model_size: str) -> dict:
             json.dump(rec, f)
     # drop the stale extraction cache so a following score stage re-extracts
     import shutil
-    shutil.rmtree(os.path.join(out, f'our_gen_json_{model_size}'),
+    shutil.rmtree(os.path.join(out, f'our_gen_json_{tag}'),
                   ignore_errors=True)
     gs = os.path.join(gen_dir, 'generate_summary.json')
     summ = {}
@@ -420,9 +495,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--out', default='/tmp/real')
     ap.add_argument('--stage', default='all',
-                    choices=['all', 'extract', 'train', 'generate',
-                             'rerender', 'score'])
+                    choices=['all', 'extract', 'tokenizer', 'train',
+                             'generate', 'rerender', 'score'])
     ap.add_argument('--model-size', default='small')
+    ap.add_argument('--tokenizer', default='vanilla',
+                    choices=['vanilla', 'pairmerge', 'wordpiece'],
+                    help='learned tokenizers run the string pipeline and tag '
+                         "the artifact entry (e.g. 'small_pairmerge')")
     ap.add_argument('--test-frac', type=float, default=0.25,
                     help='held-out fraction at extract time (0.25 -> 10/40 '
                          'songs; the round-4 4-song split was noise-dominated)')
@@ -444,21 +523,25 @@ def main():
         jax.config.update('jax_platforms', args.platform)
     os.makedirs(args.out, exist_ok=True)
 
+    tag = _tag(args.model_size, args.tokenizer)
     if args.stage in ('all', 'extract'):
         stage_extract(args.out, test_frac=args.test_frac)
+    if (args.stage == 'tokenizer'
+            or (args.stage == 'all' and args.tokenizer != 'vanilla')):
+        stage_tokenizer(args.out, args.tokenizer)
     if args.stage in ('all', 'train'):
         stage_train(args.out, args.model_size, args.epochs, args.batch_size,
                     seed=args.seed, resume_from=args.resume_from,
-                    save_every=args.save_every)
+                    save_every=args.save_every, scheme=args.tokenizer)
     if args.stage in ('all', 'generate'):
-        stage_generate(args.out, args.model_size, seed=args.seed)
+        stage_generate(args.out, tag, seed=args.seed)
     if args.stage == 'rerender':
-        stage_rerender(args.out, args.model_size)
+        stage_rerender(args.out, tag)
     if args.stage in ('all', 'score'):
-        sizes = [args.model_size] if args.stage != 'score' else \
+        tags = [tag] if args.stage != 'score' else \
             [d.split('_', 1)[1] for d in sorted(os.listdir(args.out))
              if d.startswith('generated_')]
-        stage_score(args.out, sizes or [args.model_size])
+        stage_score(args.out, tags or [tag])
 
 
 if __name__ == '__main__':
