@@ -119,11 +119,19 @@ class PairMergeTokenizer(MusicTokenizer):
 
     # ------------------------------------------------------------------ core
     def tokenize(self, text: Union[str, List[str]]) -> List[str]:
-        """Greedy merged-element tokenization (reference :241-266)."""
+        """Greedy merged-element tokenization (reference :241-266).
+
+        Input that violates the song grammar (e.g. a RAW model sample where a
+        duration follows a duration) cannot be segmented into elements; it
+        falls back to unmerged base tokens instead of raising, so encode()
+        is total over model output.  Grammar-repaired text always parses."""
         if isinstance(text, list):
             text = ' '.join(text)
         v = self.vocab
-        out = self.mc.str2tok_elms(text)
+        try:
+            out = self.mc.str2tok_elms(text)
+        except Exception:
+            return [v.sanitize_rare_token(t) for t in text.split()]
         ret: List[str] = [out.time_sig, out.tempo]
         if out.key:
             ret.append(out.key)

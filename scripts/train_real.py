@@ -228,27 +228,32 @@ def stage_generate(out: str, tag: str, n_uncond: int = 16,
     print(f'[generate] {len(texts)} songs in {dt:.1f}s '
           f'({sum(len(t.split()) for t in texts)} tokens)', flush=True)
 
-    # decode(encode(text)) exactness on every generated song -- for learned
-    # tokenizers (merged ids) this certifies the unit table round-trips the
-    # model's own output distribution, not just the train corpus
-    learned = type(tok).__name__ != 'MusicTokenizer'
-    n_rt = sum(tok.decode(tok.encode(t)) == t for t in texts)
-    if learned:
-        assert n_rt == len(texts), (
-            f'learned tokenizer roundtrip broke on {len(texts) - n_rt} '
-            f'generated songs')
-
     from musicnlp_tpu.trainer.eval import (
         repair_bar_durations, repair_generated, truncate_last_bar,
     )
     os.makedirs(gen_dir, exist_ok=True)
-    n_render_fail = n_raw_valid = 0
+    # decode(encode(text)) exactness -- for learned tokenizers (merged ids)
+    # this certifies the unit table round-trips the model's own output
+    # distribution, not just the train corpus.  Raw samples may violate the
+    # song grammar (unsegmentable into elements), so exactness is asserted on
+    # the grammar-repaired text; the raw-text rate is recorded alongside.
+    learned = type(tok).__name__ != 'MusicTokenizer'
+
+    def _roundtrips(t: str) -> bool:
+        try:
+            return tok.decode(tok.encode(t)) == t
+        except Exception:
+            return False
+
+    n_rt_raw = sum(_roundtrips(t) for t in texts)
+    n_render_fail = n_raw_valid = n_rt_rep = 0
     for i, (text, meta) in enumerate(zip(texts, metas)):
         text = truncate_last_bar(text, gen.vocab)
         text = repair_generated(text, gen.vocab)
         filled = repair_bar_durations(text, gen.vocab)
         raw_valid = filled == text
         n_raw_valid += raw_valid
+        n_rt_rep += _roundtrips(filled)
         rec = dict(meta, text=filled, raw_text=text,
                    bar_durations_valid=raw_valid, prompt=prompts[i])
         stem = f'real_{tag}_{i:03d}'
@@ -262,9 +267,15 @@ def stage_generate(out: str, tag: str, n_uncond: int = 16,
             rec['render_error'] = f'{type(e).__name__}: {e}'
         with open(os.path.join(gen_dir, f'{stem}.json'), 'w') as f:
             json.dump(rec, f)
+    if learned:
+        assert n_rt_rep == len(texts), (
+            f'learned tokenizer roundtrip broke on {len(texts) - n_rt_rep} '
+            f'repaired generated songs')
     rec = dict(n_generated=len(texts), n_render_fail=n_render_fail,
                n_raw_bar_valid=n_raw_valid,
                raw_bar_valid_ratio=round(n_raw_valid / max(len(texts), 1), 4),
+               roundtrip_exact_repaired=n_rt_rep,
+               roundtrip_exact_raw=n_rt_raw,
                gen_seconds=round(dt, 1), top_k=top_k, n_bar=n_bar,
                max_length=max_length, gen_dir=gen_dir)
     with open(os.path.join(gen_dir, 'generate_summary.json'), 'w') as f:

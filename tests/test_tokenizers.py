@@ -65,6 +65,19 @@ def test_pair_merge_ids2pitches_matches_base():
         assert tok.ids2pitches(ids) == base.ids2pitches(base_ids)
 
 
+def test_pair_merge_malformed_input_total():
+    """encode() must be total over RAW model samples: grammar-violating text
+    (duration where a pitch is required) falls back to unmerged base tokens
+    instead of raising from the element parser."""
+    tr = PairMergeTokenizerTrainer(pitch_kind='midi', mode='full')
+    tok = tr(SONGS, coverage_ratio=0.95)
+    bad = ('TimeSig_4/4 Tempo_120 '
+           '<bar> <melody> p_1/4 d_1 d_4 p_5/4 <bass> p_1/3 d_4 </s>')
+    ids = tok.encode(bad)                    # must not raise
+    assert all(i < len(tok.vocab) for i in ids)   # nothing merged
+    assert tok.decode(ids) == bad            # all tokens in-vocab -> exact
+
+
 # ------------------------------------------------------------------ wordpiece
 def test_score2word_boundaries():
     v = MusicVocabulary(pitch_kind='midi')
