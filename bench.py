@@ -303,8 +303,12 @@ def measure_decode_baseline(size: str, gen_len: int) -> float:
     return n / dt
 
 
-def measure_reformer_train(size: str, seq: int, bsz: int, steps: int) -> float:
-    """Our Reformer (22-04 recipe shape) jitted train step, tokens/sec/chip."""
+def measure_reformer_train(size: str, seq: int, bsz: int, steps: int,
+                           **cfg_overrides) -> float:
+    """Our Reformer (22-04 recipe shape) jitted train step, tokens/sec/chip.
+
+    cfg_overrides reach ReformerConfig (e.g. remat=True -- required to fit
+    `large` on one 16 GB chip, see scripts/large_preset_bench.py)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -313,7 +317,7 @@ def measure_reformer_train(size: str, seq: int, bsz: int, steps: int) -> float:
     from musicnlp_tpu.utils.rng import train_key
 
     cfg = ReformerConfig.from_size(size, vocab_size=422, max_length=seq,
-                                   dtype='bfloat16')
+                                   dtype='bfloat16', **cfg_overrides)
     model = Reformer(cfg)
     params = model.init(jax.random.PRNGKey(0))
     tx = optax.chain(optax.clip_by_global_norm(1.0),
