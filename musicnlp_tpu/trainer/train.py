@@ -359,12 +359,22 @@ class Trainer:
     def _save_checkpoint(self, epoch: int, params, opt_state) -> str:
         """Epoch checkpoint dir with params + optimizer state + counters.
         Process 0 writes; the barrier keeps other hosts from reading (e.g.
-        the best-model restore) before the files are complete."""
+        the best-model restore) before the files are complete.
+
+        The directory appears ATOMICALLY (written as `.tmp`, renamed when
+        complete): a save interrupted by a crash/kill can never leave a
+        half-written `checkpoint-ep*` for resume/rotation/`load_trained`
+        to trip over (a round-5 session was killed mid-save and the next
+        resume picked the empty dir)."""
         d = os.path.join(self.out_dir, f'checkpoint-ep{epoch}')
         if self._is_main:
-            ckpt.save_pytree(os.path.join(d, 'params'), params)
-            ckpt.save_pytree(os.path.join(d, 'opt_state'), opt_state)
-            ckpt.save_meta(os.path.join(d, 'state.json'), dict(epoch=epoch))
+            tmp = d + '.tmp'
+            shutil.rmtree(tmp, ignore_errors=True)
+            ckpt.save_pytree(os.path.join(tmp, 'params'), params)
+            ckpt.save_pytree(os.path.join(tmp, 'opt_state'), opt_state)
+            ckpt.save_meta(os.path.join(tmp, 'state.json'), dict(epoch=epoch))
+            shutil.rmtree(d, ignore_errors=True)
+            os.rename(tmp, d)
         mesh_lib.barrier(f'ckpt-ep{epoch}')
         self._saved_ckpts.append(d)
         return d

@@ -50,7 +50,12 @@ def save_pytree(path: str, tree, backend: str = 'npz') -> str:
     if not path.endswith('.npz'):
         path = path + '.npz'
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
-    np.savez(path, **_flatten(tree))
+    # atomic: a crash mid-write must not leave a truncated .npz where
+    # restore_pytree / load_trained expects a checkpoint
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        np.savez(f, **_flatten(tree))
+    os.replace(tmp, path)
     return path
 
 

@@ -129,6 +129,25 @@ def test_checkpoint_roundtrip(setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_save_is_atomic(setup, tmp_path):
+    """save_pytree never leaves a .tmp behind and replaces a stale/corrupt
+    file in one rename (a session kill mid-save must not strand a truncated
+    npz where resume/load_trained looks)."""
+    import os
+    model, *_ = setup
+    params = model.init(jax.random.PRNGKey(3))
+    path = str(tmp_path / 'ck.npz')
+    with open(path, 'wb') as f:
+        f.write(b'truncated garbage from an interrupted save')
+    with open(path + '.tmp', 'wb') as f:
+        f.write(b'stale tmp from a killed process')
+    save_pytree(path, params)
+    assert not os.path.exists(path + '.tmp')
+    back = restore_pytree(path, jax.tree.map(np.zeros_like, params))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_ikr_metric_exact():
     tok = MusicTokenizer(pitch_kind='midi')
     vocab = tok.vocab
