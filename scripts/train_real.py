@@ -83,7 +83,9 @@ def _tag(model_size: str, scheme: str) -> str:
 
 
 def stage_tokenizer(out: str, scheme: str, coverage: float = 0.95,
-                    wp_vocab: int = 2048) -> str:
+                    wp_vocab: int = 4096) -> str:
+    # wp_vocab must exceed 2 * base vocab (2380 for degree kind): every base
+    # token exists in word-initial and continuing form before any merge
     """Train a learned tokenizer on the real corpus (degree pitch, key-
     augmented copies -- the reference's deployment flow,
     reference wordpiece_tokenizer.py:246-336, pair_merge_tokenizer.py:41-153)."""
