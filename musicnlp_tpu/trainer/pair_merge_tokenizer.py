@@ -14,11 +14,14 @@ reference's checkpoint format (:110-134).
 from __future__ import annotations
 
 import json
+import logging
 import os
 from collections import Counter
 from typing import Dict, List, Sequence, Tuple, Union
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from musicnlp_tpu.preprocess.music_converter import MusicConverter
 from musicnlp_tpu.vocab import MusicTokenizer, MusicVocabulary
@@ -104,6 +107,10 @@ class PairMergeTokenizer(MusicTokenizer):
         self.added_id2tok: Dict[int, str] = {v: k for k, v in self.added_tok2id.items()}
         self.mc = MusicConverter(mode=self.mode, precision=mv['precision'])
         self._id2pitches_cache: Dict[int, List[int]] = {}
+        # observability for the ungrammatical-input fallback: if a parser
+        # regression ever made GRAMMATICAL corpus text take this path, every
+        # training sample would silently train without merged tokens
+        self.fallback_count = 0
 
     @classmethod
     def from_file(cls, path: str, **kwargs) -> 'PairMergeTokenizer':
@@ -130,7 +137,18 @@ class PairMergeTokenizer(MusicTokenizer):
         v = self.vocab
         try:
             out = self.mc.str2tok_elms(text)
-        except Exception:
+        except Exception as e:
+            # expected for RAW model samples only; on this path merged tokens
+            # are unused and off-lattice tokens sanitize (decode∘encode is
+            # not exact), so count + warn once rather than stay silent
+            self.fallback_count += 1
+            if self.fallback_count == 1:
+                logger.warning(
+                    'PairMergeTokenizer: input did not parse as a song '
+                    '(%s: %s); falling back to unmerged base tokens. '
+                    'Expected for raw generated text -- if this fires on '
+                    'corpus text, merged tokens are silently unused '
+                    '(see .fallback_count).', type(e).__name__, e)
             return [v.sanitize_rare_token(t) for t in text.split()]
         ret: List[str] = [out.time_sig, out.tempo]
         if out.key:

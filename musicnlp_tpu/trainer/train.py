@@ -262,6 +262,14 @@ class Trainer:
         resume; reference relies on HF Trainer's checkpoint-resume)."""
         args = self.args
         start_epoch = 0
+        if self._is_main and os.path.isdir(self.out_dir):
+            # a kill between save_pytree and the atomic rename strands a
+            # full-size checkpoint-ep*.tmp that rotation never adopts (the
+            # resume scan skips non-canonical names by design) -- sweep them
+            for d in os.listdir(self.out_dir):
+                if d.startswith('checkpoint-ep') and d.endswith('.tmp'):
+                    shutil.rmtree(os.path.join(self.out_dir, d),
+                                  ignore_errors=True)
         if params is None:
             params, opt_state = self.init_state()
         if resume_from is not None:
@@ -319,6 +327,13 @@ class Trainer:
                         global_step, epoch, rec['loss'], rec['ntp_acc'],
                         rec['ikr'], rec['lr'])
             dt = time.time() - t_ep
+            if self.host_shard:
+                # the local loop saw only this host's 1/nproc slice of every
+                # global batch; sum the real non-pad counts across hosts so
+                # the logged rate is the GLOBAL step throughput
+                from jax.experimental import multihost_utils
+                n_tok_ep = int(np.sum(multihost_utils.process_allgather(
+                    np.int64(n_tok_ep))))
             ep_rec = dict(epoch=epoch, train_tokens_per_sec=n_tok_ep / max(dt, 1e-9))
             logger.info('epoch %d done: %.0f tokens/sec', epoch,
                         ep_rec['train_tokens_per_sec'])

@@ -83,9 +83,13 @@ def restore_pytree(path: str, template, backend: str = None) -> Any:
 
 
 def save_meta(path: str, meta: Dict):
+    """Atomic (tmp + rename), like save_pytree: a kill mid-write must never
+    leave a truncated JSON for load_trained/resume to crash on."""
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
-    with open(path, 'w') as f:
+    tmp = path + '.tmp'
+    with open(tmp, 'w') as f:
         json.dump(meta, f, indent=2, default=str)
+    os.replace(tmp, path)
 
 
 def load_meta(path: str) -> Dict:

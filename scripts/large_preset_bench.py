@@ -41,7 +41,7 @@ def mem_stats():
     )
 
 
-def analytic_state(model, size, seq, vocab=1190):
+def analytic_state(model, size, seq, vocab):
     """Parameter count + f32 param/adam-moment bytes: the dominant resident
     HBM after activations (which remat keeps bounded)."""
     import numpy as np
@@ -73,23 +73,29 @@ def main():
     import bench
 
     if args.model == 'tfxl':
+        if args.remat:
+            ap.error('--remat applies only to --model reformer '
+                     '(measure_ours takes no remat override)')
         seq = args.seq or 1024          # 22-11 shape at large scale
         bsz = args.bsz or 16
+        vocab = 1190                    # measure_ours' degree-kind default
         tps = bench.measure_ours('large', seq, bsz, args.steps)
-        fpt = bench.tfxl_train_flops_per_token('large', seq, 1190)
+        fpt = bench.tfxl_train_flops_per_token('large', seq, vocab)
     else:
         seq = args.seq or 2048          # Reformer presets are long-seq
         bsz = args.bsz or 16
-        tps = bench.measure_reformer_train('large', seq, bsz, args.steps,
-                                           **(dict(remat=True) if args.remat
-                                              else {}))
-        fpt = bench.reformer_train_flops_per_token('large', seq, 1190)
+        vocab = 422                     # measure_reformer_train hardcodes the
+        tps = bench.measure_reformer_train(  # midi-kind vocab (bench.py:319)
+            'large', seq, bsz, args.steps,
+            **(dict(remat=True) if args.remat else {}))
+        fpt = bench.reformer_train_flops_per_token('large', seq, vocab)
 
     rec = dict(
         model=args.model, size='large', seq=seq, batch_size=bsz,
+        vocab_size=vocab,
         steps=args.steps, tokens_per_sec_per_chip=round(tps, 1),
         **bench.mfu_fields(tps, fpt), **mem_stats(),
-        **analytic_state(args.model, 'large', seq),
+        **analytic_state(args.model, 'large', seq, vocab),
         remat=bool(args.remat),
         fit='ran to completion at this (batch, seq) on one v5e chip',
     )

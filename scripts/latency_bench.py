@@ -20,7 +20,6 @@ Usage:  python scripts/latency_bench.py [--run-dir /tmp/real/model_base]
 """
 import argparse
 import json
-import math
 import os
 import sys
 import time
@@ -32,6 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CHUNK = 128
 KEYS = ['CMajor', 'GMajor', 'DMajor', 'AMinor', 'EMinor', 'FMajor',
         'BbMajor', 'DMinor']
+
+
+def _device_platform() -> str:
+    import jax
+    return jax.devices()[0].platform
 
 
 def measure(gen, bsz: int, max_length: int, seeds, tempo=120):
@@ -98,7 +102,10 @@ def main():
         strategy='sample top_k=8 (22-11)', early_exit_chunk=CHUNK,
         semantics='per-song latency = wall * release_chunk/total_chunks; '
                   'b=1 over 8 seeds, b>=32 per-song spread within batches',
-        device=os.environ.get('JAX_PLATFORMS', 'axon'),
+        # the JAX_PLATFORMS env var does NOT reflect the actual platform
+        # here (the axon sitecustomize overrides it; see CLAUDE.md) -- ask
+        # the initialized backend instead
+        device=_device_platform(),
     )
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, 'w') as f:

@@ -537,6 +537,9 @@ def main():
     os.makedirs(args.out, exist_ok=True)
 
     tag = _tag(args.model_size, args.tokenizer)
+    if args.stage == 'tokenizer' and args.tokenizer == 'vanilla':
+        ap.error("--stage tokenizer requires --tokenizer pairmerge|wordpiece "
+                 "(the vanilla scheme has no tokenizer to train)")
     if args.stage in ('all', 'extract'):
         stage_extract(args.out, test_frac=args.test_frac)
     if (args.stage == 'tokenizer'
