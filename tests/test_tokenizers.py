@@ -76,6 +76,11 @@ def test_pair_merge_malformed_input_total():
     ids = tok.encode(bad)                    # must not raise
     assert all(i < len(tok.vocab) for i in ids)   # nothing merged
     assert tok.decode(ids) == bad            # all tokens in-vocab -> exact
+    # the fallback is counted (a parser regression routing CORPUS text here
+    # would otherwise silently train without any merged tokens)
+    assert tok.fallback_count == 1
+    assert tok.decode(tok.encode(SONGS[0])) == SONGS[0]
+    assert tok.fallback_count == 1           # grammatical text: no fallback
 
 
 # ------------------------------------------------------------------ wordpiece

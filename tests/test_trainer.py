@@ -288,6 +288,27 @@ def test_resume_from_checkpoint(setup, tmp_path_factory):
     assert res['best_eval_loss'] < float('inf') or True
 
 
+def test_stale_tmp_checkpoint_swept_and_meta_atomic(setup, tmp_path_factory):
+    """A kill between save_pytree and the atomic rename strands a full-size
+    checkpoint-ep*.tmp that rotation never adopts; Trainer.train() must sweep
+    such orphans at startup.  The final meta.json write must be atomic too
+    (no .tmp left, loadable JSON)."""
+    model, tok, train, evald = setup
+    out = str(tmp_path_factory.mktemp('sweep'))
+    orphan = os.path.join(out, 'checkpoint-ep7.tmp')
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, 'params.npz'), 'wb') as f:
+        f.write(b'half-written by a killed process')
+    args = TrainArgs(batch_size=8, learning_rate=1e-3, weight_decay=0.0,
+                     lr_scheduler_type='constant', num_train_epochs=1,
+                     load_best_model_at_end=False)
+    Trainer(model, tok, train, evald, args=args, out_dir=out).train()
+    leftovers = [d for d in os.listdir(out) if d.endswith('.tmp')]
+    assert not leftovers, leftovers
+    meta = json.load(open(os.path.join(out, 'meta.json')))
+    assert meta['model_name'] and 'config' in meta
+
+
 def test_ins_key_ikr_in_step():
     """Trainer in-step IKR uses the inserted key when ikr_mode='ins-key'."""
     from musicnlp_tpu.trainer.train import setup_recipe
