@@ -580,7 +580,8 @@ def main():
         # 512-way int8 is the measured winner (round-4 sweep): bf16
         # 64->28.5k, 128->56.0k, 256->62.0k, 512->64.2k tok/s; int8 KV ring
         # 256->90.5k, 512->95.1k (batch-latency 2.9s vs 5.5s -- flip to 256
-        # when per-batch latency matters more than throughput)
+        # when per-batch latency matters more than throughput); round-5:
+        # 768->71.6k (non-power-of-two batch pads badly; don't retry)
         bsz = _env_int('BENCH_BSZ', 512)
         key = f'decode-{size}-len{gen_len}'
         cache = {}
