@@ -190,6 +190,24 @@ def _cmd_generate(a) -> int:
     return 0
 
 
+def _cmd_download(a) -> int:
+    from musicnlp_tpu.utils.download import (
+        EgressUnavailable, download_artifact, list_artifacts,
+    )
+    if not a.name:
+        print(list_artifacts())
+        return 0
+    from musicnlp_tpu.utils.config import PathRegistry
+    paths = PathRegistry(a.base) if a.base else None
+    try:
+        dest = download_artifact(a.name, paths=paths, force=a.force)
+    except (KeyError, EgressUnavailable) as e:
+        print(f'error: {e}', file=sys.stderr)
+        return 1
+    print(dest)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog='musicnlp_tpu',
@@ -271,12 +289,29 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument('--condition-on', help='extracted .mxl (or token string) to continue')
     g.add_argument('--n-bar', type=int, default=4, help='prompt bars when conditioning')
     g.set_defaults(fn=_cmd_generate)
+
+    dl = sub.add_parser(
+        'download',
+        help="fetch the reference's shipped artifacts (converted corpora, "
+             'processed datasets, trained tokenizer); egress-gated')
+    dl.add_argument('name', nargs='?',
+                    help="registry key (e.g. 'converted/POP909-MS'); "
+                         'omit to list all')
+    dl.add_argument('--base', help='override the path-registry base dir')
+    dl.add_argument('--force', action='store_true',
+                    help='re-download even if the zip exists')
+    dl.set_defaults(fn=_cmd_download)
     return p
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except BrokenPipeError:                 # e.g. `... download | head`
+        devnull = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(devnull, sys.stdout.fileno())
+        return 0
 
 
 if __name__ == '__main__':
