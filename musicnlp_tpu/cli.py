@@ -201,7 +201,7 @@ def _cmd_download(a) -> int:
     paths = PathRegistry(a.base) if a.base else None
     try:
         dest = download_artifact(a.name, paths=paths, force=a.force)
-    except (KeyError, EgressUnavailable) as e:
+    except (LookupError, EgressUnavailable, ValueError) as e:
         print(f'error: {e}', file=sys.stderr)
         return 1
     print(dest)
@@ -307,7 +307,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     try:
-        return args.fn(args)
+        rc = args.fn(args)
+        sys.stdout.flush()      # surface EPIPE here, not at shutdown flush
+        return rc
     except BrokenPipeError:                 # e.g. `... download | head`
         devnull = os.open(os.devnull, os.O_WRONLY)
         os.dup2(devnull, sys.stdout.fileno())

@@ -5,14 +5,16 @@ the same fetch -> checksum -> atomic rename -> unzip path real URLs take.
 import hashlib
 import os
 import pathlib
+import urllib.parse
 import zipfile
 
 import pytest
 
 from musicnlp_tpu.utils.config import PathRegistry
 from musicnlp_tpu.utils.download import (
-    ARTIFACTS, Artifact, EgressUnavailable, download_artifact, fetch,
-    fetch_and_extract, gdrive_url, list_artifacts,
+    ARTIFACTS, Artifact, EgressUnavailable, _gdrive_confirm_url,
+    download_artifact, fetch, fetch_and_extract, gdrive_url,
+    list_artifacts,
 )
 
 
@@ -29,6 +31,7 @@ def test_fetch_and_extract_roundtrip(tmp_path):
     dest = tmp_path / 'dl'
     out = fetch_and_extract(url, str(dest / 'bundle.zip'))
     assert out == str(dest)
+    assert (dest / 'bundle.zip.extracted').exists()
     assert (dest / 'a.json').read_text() == '{"x": 1}'
     assert (dest / 'sub' / 'b.mid').exists()
     assert not (dest / 'bundle.zip.tmp').exists()     # atomic rename
@@ -65,6 +68,63 @@ def test_unreachable_raises_egress_error(tmp_path):
     assert not (tmp_path / 'out.zip.tmp').exists()
 
 
+def test_stale_pin_refetches(tmp_path):
+    # an existing file failing its sha256 pin is discarded and re-fetched
+    src = tmp_path / 'f.bin'
+    src.write_bytes(b'good')
+    out = tmp_path / 'out.bin'
+    out.write_bytes(b'corrupt leftover')
+    fetch(src.as_uri(), str(out),
+          sha256=hashlib.sha256(b'good').hexdigest())
+    assert out.read_bytes() == b'good'
+
+
+def test_corrupt_zip_removed_and_recoverable(tmp_path):
+    # a non-zip download (e.g. an HTML error page saved as .zip) must not
+    # poison skip-if-exists: it is removed with a clear error, and the
+    # next run re-fetches a good copy
+    bad = tmp_path / 'bad.bin'
+    bad.write_bytes(b'this is not a zip')
+    zp = tmp_path / 'dl' / 'bundle.zip'
+    with pytest.raises(EgressUnavailable, match='not a zip'):
+        fetch_and_extract(bad.as_uri(), str(zp))
+    assert not zp.exists()
+    good_url = _make_zip(tmp_path / 'good.zip', {'ok.txt': 'yes'})
+    fetch_and_extract(good_url, str(zp))
+    assert (tmp_path / 'dl' / 'ok.txt').read_text() == 'yes'
+
+
+def test_reextract_skipped_when_unchanged(tmp_path):
+    # resume must not re-unzip: the .extracted marker gates extraction
+    url = _make_zip(tmp_path / 'src.zip', {'a.txt': 'v'})
+    zp = tmp_path / 'dl' / 'bundle.zip'
+    out = pathlib.Path(fetch_and_extract(url, str(zp)))
+    extracted = out / 'a.txt'
+    extracted.write_text('user-modified')
+    fetch_and_extract(url, str(zp))                   # no-op resume
+    assert extracted.read_text() == 'user-modified'   # not overwritten
+    fetch_and_extract(url, str(zp), force=True)       # force re-extracts
+    assert extracted.read_text() == 'v'
+
+
+def test_gdrive_confirm_url_parsing():
+    html = (b'<!DOCTYPE html><html><body><form id="download-form" '
+            b'action="https://drive.usercontent.google.com/download" '
+            b'method="get">'
+            b'<input type="hidden" name="id" value="FILEID">'
+            b'<input type="hidden" name="export" value="download">'
+            b'<input type="hidden" name="confirm" value="t">'
+            b'<input type="hidden" name="uuid" value="u-1">'
+            b'</form></body></html>')
+    url = _gdrive_confirm_url(html)
+    assert url.startswith('https://drive.usercontent.google.com/download?')
+    q = dict(urllib.parse.parse_qsl(urllib.parse.urlsplit(url).query))
+    assert q == {'id': 'FILEID', 'export': 'download', 'confirm': 't',
+                 'uuid': 'u-1'}
+    # quota/permission page: no download form -> None
+    assert _gdrive_confirm_url(b'<html><body>Quota exceeded</body>') is None
+
+
 def test_download_artifact_multipart(tmp_path):
     # 2-part artifact (the LMD-MS split shape) landing in one dir
     u1 = _make_zip(tmp_path / 'p1.zip', {'one.json': '1'})
@@ -77,9 +137,10 @@ def test_download_artifact_multipart(tmp_path):
     assert dest == str(tmp_path / 'base' / 'datasets' / 'converted' /
                        'FAKE, MS')
     assert sorted(os.listdir(dest)) == [
-        'converted_FAKE_part1.zip', 'converted_FAKE_part2.zip',
+        'converted_FAKE_part1.zip', 'converted_FAKE_part1.zip.extracted',
+        'converted_FAKE_part2.zip', 'converted_FAKE_part2.zip.extracted',
         'one.json', 'two.json']
-    with pytest.raises(KeyError, match='unknown artifact'):
+    with pytest.raises(LookupError, match='unknown artifact'):
         download_artifact('nope', paths=paths, registry=reg)
 
 
